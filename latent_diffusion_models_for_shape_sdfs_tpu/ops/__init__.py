@@ -1,0 +1,10 @@
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (  # noqa: F401
+    marching_tetrahedra,
+    extract_mesh,
+)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: F401
+    make_grid_points,
+    decode_grid,
+    decode_grid_batch,
+    decode_grid_hierarchical,
+)

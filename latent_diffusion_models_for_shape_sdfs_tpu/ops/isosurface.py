@@ -1,0 +1,192 @@
+"""Isosurface extraction: dense SDF grid -> triangle mesh (host side).
+
+The lineage extracts meshes with `skimage.measure.marching_cubes`, which is
+unavailable offline (SURVEY.md section 2.2). We ship our own extractor using
+**marching tetrahedra**: each grid cell is split into 6 tetrahedra around
+the main diagonal and each tetrahedron is polygonised exactly (1 or 2
+triangles per crossing tet). Compared to classic MC this produces ~2x more
+triangles but has no ambiguous cases and identical O(h^2) surface accuracy —
+vertices sit on linear-interpolated zero crossings, which is what Chamfer
+parity needs. The C++ fast path (native/marching_cubes) implements the same
+algorithm for 512^3 grids; `extract_mesh` dispatches to it when built.
+
+Fully vectorised NumPy: per tet (6) and sign-class (14) masked gathers; a
+128^3 grid extracts in a couple of seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import struct
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+# Cube corner offsets, canonical binary order: bit0=x, bit1=y, bit2=z.
+_CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+    [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1],
+], np.int64)
+
+# 6-tetrahedron decomposition of the cube sharing the main diagonal 0-7.
+# Every pair of face-adjacent cubes induces the same diagonal on the shared
+# face, so the extracted surface is crack-free.
+_TETS = np.array([
+    [0, 1, 3, 7],
+    [0, 3, 2, 7],
+    [0, 2, 6, 7],
+    [0, 6, 4, 7],
+    [0, 4, 5, 7],
+    [0, 5, 1, 7],
+], np.int64)
+
+_OTHERS = [[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]]
+_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def _interp(p_a, p_b, v_a, v_b, iso):
+    """Linear zero-crossing between two corner point sets [N,3]."""
+    denom = v_b - v_a
+    t = np.where(np.abs(denom) > 1e-12, (iso - v_a) / denom, 0.5)
+    t = np.clip(t, 0.0, 1.0)[:, None]
+    return p_a + t * (p_b - p_a)
+
+
+def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
+                        origin=(-1.0, -1.0, -1.0),
+                        spacing: Optional[float] = None,
+                        weld: bool = True) -> tuple:
+    """grid[R,R,R] (x,y,z-indexed) -> (verts[N,3] f32, faces[M,3] i64).
+
+    Coordinates: point (i,j,k) sits at origin + spacing * (i,j,k); the
+    default spans the lineage's [-1,1]^3 decode cube.
+    """
+    grid = np.asarray(grid, np.float32)
+    R = grid.shape[0]
+    assert grid.shape == (R, R, R), "expect a cubic grid"
+    if spacing is None:
+        spacing = 2.0 / (R - 1)
+    origin = np.asarray(origin, np.float32)
+
+    n = R - 1
+    # Corner values [8, n, n, n], flat cell bases, global corner point ids.
+    vals = np.empty((8, n, n, n), np.float32)
+    for c, (dx, dy, dz) in enumerate(_CORNERS):
+        vals[c] = grid[dx:dx + n, dy:dy + n, dz:dz + n]
+    vals = vals.reshape(8, -1)
+
+    ii, jj, kk = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                             indexing="ij")
+    base = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+    # gid of cube corner c for each cell: flat index into the R^3 lattice.
+    gids = np.empty((8, base.shape[0]), np.int64)
+    for c, off in enumerate(_CORNERS):
+        idx = base + off
+        gids[c] = (idx[:, 0] * R + idx[:, 1]) * R + idx[:, 2]
+    basef = base.astype(np.float32)
+
+    tri_pts = []   # [*, 3(tri verts), 3(xyz)]
+    tri_keys = []  # [*, 3] — vertex = unique global lattice edge id
+
+    def corner_pts(c, sel):
+        return (basef[sel] + _CORNERS[c].astype(np.float32)) * spacing \
+            + origin
+
+    R3 = R * R * R
+
+    for tet in _TETS:
+        tv = vals[tet]                      # [4, Ncells]
+        inside = tv < iso
+        count = inside.sum(axis=0)
+
+        def edge_pt(a, b, sel):
+            """(position, global edge key) of the crossing on tet edge a-b.
+            The key is orientation-independent, so the same lattice edge
+            always welds to one vertex across tets and cells."""
+            p = _interp(corner_pts(tet[a], sel), corner_pts(tet[b], sel),
+                        tv[a][sel], tv[b][sel], iso)
+            ga, gb = gids[tet[a]][sel], gids[tet[b]][sel]
+            key = np.minimum(ga, gb) * R3 + np.maximum(ga, gb)
+            return p, key
+
+        def emit(triple, sel):
+            ps, ks = zip(*(edge_pt(a, b, sel) for a, b in triple))
+            tri_pts.append(np.stack(ps, axis=1))
+            tri_keys.append(np.stack(ks, axis=1))
+
+        # one inside (or one outside): single triangle on 3 incident edges
+        for lone in range(4):
+            o = _OTHERS[lone]
+            for polarity in (1, 3):
+                sel = (count == polarity) & (
+                    inside[lone] if polarity == 1 else ~inside[lone])
+                sel = np.nonzero(sel)[0]
+                if sel.size:
+                    emit([(lone, o[0]), (lone, o[1]), (lone, o[2])], sel)
+        # two inside: quad on the 4 cross edges -> 2 triangles
+        for a, b in _PAIRS:
+            cd = [x for x in range(4) if x not in (a, b)]
+            sel = np.nonzero((count == 2) & inside[a] & inside[b])[0]
+            if sel.size:
+                emit([(a, cd[0]), (a, cd[1]), (b, cd[1])], sel)
+                emit([(a, cd[0]), (b, cd[1]), (b, cd[0])], sel)
+
+    if not tri_pts:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    soup = np.concatenate(tri_pts, axis=0)   # [M, 3, 3]
+    keys = np.concatenate(tri_keys, axis=0)  # [M, 3]
+    if not weld:
+        M = len(soup)
+        return (soup.reshape(-1, 3).astype(np.float32),
+                np.arange(3 * M, dtype=np.int64).reshape(M, 3))
+    uniq, first, inv = np.unique(keys.reshape(-1), return_index=True,
+                                 return_inverse=True)
+    verts = soup.reshape(-1, 3)[first].astype(np.float32)
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    # Drop triangles degenerate in topology (repeated welded vertex) — they
+    # arise when a crossing lands exactly on a lattice point.
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[ok]
+
+
+def _native_mc_binary() -> Optional[str]:
+    """Path to the compiled native marching-cubes tool, if built."""
+    env = os.environ.get("LDM_SDF_NATIVE_MC")
+    if env and pathlib.Path(env).exists():
+        return env
+    here = pathlib.Path(__file__).resolve().parents[2]
+    cand = here / "native" / "build" / "marching_cubes"
+    return str(cand) if cand.exists() else None
+
+
+def extract_mesh(grid: np.ndarray, iso: float = 0.0,
+                 origin=(-1.0, -1.0, -1.0), spacing: Optional[float] = None,
+                 prefer_native: bool = True) -> tuple:
+    """Dispatch: native C++ extractor when built, NumPy fallback otherwise."""
+    binary = _native_mc_binary() if prefer_native else None
+    if binary is None:
+        return marching_tetrahedra(grid, iso, origin, spacing)
+    grid = np.ascontiguousarray(grid, np.float32)
+    R = grid.shape[0]
+    if spacing is None:
+        spacing = 2.0 / (R - 1)
+    with tempfile.TemporaryDirectory() as td:
+        gpath = pathlib.Path(td) / "grid.bin"
+        opath = pathlib.Path(td) / "mesh.bin"
+        with gpath.open("wb") as f:
+            f.write(struct.pack("<i", R))
+            f.write(struct.pack("<4f", iso, *np.asarray(origin, np.float32)))
+            f.write(struct.pack("<f", spacing))
+            f.write(grid.tobytes())
+        subprocess.run([binary, str(gpath), str(opath)], check=True,
+                       capture_output=True)
+        with opath.open("rb") as f:
+            nv, nf = struct.unpack("<qq", f.read(16))
+            verts = np.frombuffer(f.read(nv * 12), np.float32).reshape(nv, 3)
+            faces = np.frombuffer(f.read(nf * 24), np.int64).reshape(nf, 3)
+    return verts.copy(), faces.copy()

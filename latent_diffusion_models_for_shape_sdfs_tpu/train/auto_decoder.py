@@ -1,0 +1,163 @@
+"""Stage-1 auto-decoder training: joint decoder + latent-table optimization.
+
+Semantics pinned in SEMANTICS.md sections 1-5 (lineage `train_deep_sdf.py`
+control flow): per step, gather each batch scene's code, run the 8x512
+decoder over scenes_per_batch x samples_per_scene (xyz, sdf) pairs, minimize
+clamped-L1 + warm-up code regularization, and apply **two** Adam groups
+(decoder lr 5e-4, latents lr 1e-3) with per-epoch step-decay schedules.
+
+TPU shape: the whole step (gather -> MLP -> loss -> both Adam updates ->
+dense scatter of latent grads) is ONE jitted program with donated state
+buffers; the host only feeds (scene_ids, xyz, sdf) batches. Data
+parallelism wraps this same step via shard_map (parallel/dp.py): batch axis
+sharded, latent table replicated, grads psum'd.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import AdConfig
+from latent_diffusion_models_for_shape_sdfs_tpu import losses
+from latent_diffusion_models_for_shape_sdfs_tpu.data.sdf_dataset import SdfDataset
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+from latent_diffusion_models_for_shape_sdfs_tpu.models.latent_table import (
+    LatentTable, gather_codes, init_latent_table)
+from latent_diffusion_models_for_shape_sdfs_tpu.utils.logging import MetricLogger
+
+
+class AdTrainState(NamedTuple):
+    params: dict           # decoder params
+    codes: jnp.ndarray     # latent table [num_scenes, L]
+    opt_dec: optax.OptState
+    opt_lat: optax.OptState
+
+
+def step_lr(lr0: float, epoch: jnp.ndarray, factor: float,
+            interval: int) -> jnp.ndarray:
+    """lr0 * factor^(epoch // interval) — lineage StepLearningRateSchedule."""
+    e = jnp.asarray(epoch, jnp.float32)
+    return lr0 * jnp.power(factor, jnp.floor(e / interval))
+
+
+def init_ad_state(cfg: AdConfig, decoder: SdfDecoder,
+                  key: jax.Array) -> AdTrainState:
+    k_dec, k_lat = jax.random.split(key)
+    params = decoder.init_params(k_dec)
+    table = init_latent_table(k_lat, cfg.num_scenes, cfg.decoder.latent_size,
+                              cfg.code_init_std)
+    # Adam kernels without the lr scale — lr is applied per-step from the
+    # epoch schedule (SEMANTICS.md s5), keeping optimizer state lr-free.
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    return AdTrainState(
+        params=params,
+        codes=table.codes,
+        opt_dec=adam.init(params),
+        opt_lat=adam.init(table.codes),
+    )
+
+
+def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
+                       jit: bool = True) -> Callable:
+    """Returns step(state, scene_ids[S], xyz[S,P,3], sdf[S,P], epoch, key)
+    -> (state, metrics). Pure function; shard_map-wrappable."""
+    adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    S, P = cfg.scenes_per_batch, cfg.samples_per_scene
+    num_sdf_samples = S * P
+
+    def loss_fn(params, codes, scene_ids, xyz, sdf, epoch, drop_key):
+        z = gather_codes(LatentTable(codes), scene_ids, cfg.code_bound)
+        zz = jnp.broadcast_to(z[:, None, :], (z.shape[0], xyz.shape[1],
+                                              z.shape[-1]))
+        flat_z = zz.reshape(-1, z.shape[-1])
+        flat_xyz = xyz.reshape(-1, 3)
+        pred = decoder.apply({"params": params}, flat_z, flat_xyz,
+                             train=True, rngs={"dropout": drop_key})
+        l1 = losses.clamped_l1(pred, sdf.reshape(-1), cfg.clamp_dist,
+                               num_sdf_samples)
+        # Lineage sums ||z|| over PER-SAMPLE gathered rows then divides by
+        # num_sdf_samples; with equal samples per scene that reduces to
+        # sum over scenes / S (the P factor cancels). SEMANTICS.md s2.
+        reg = losses.code_reg(z, epoch, cfg.code_reg_lambda,
+                              cfg.code_reg_warmup_epochs,
+                              num_sdf_samples=z.shape[0],
+                              squared=cfg.code_reg_squared)
+        return l1 + reg, {"loss_l1": l1, "loss_reg": reg}
+
+    def step(state: AdTrainState, scene_ids, xyz, sdf, epoch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(
+            state.params, state.codes, scene_ids, xyz, sdf, epoch, key)
+        g_dec, g_lat = grads
+        lr_dec = step_lr(cfg.lr_decoder, epoch, cfg.lr_decay_factor,
+                         cfg.lr_decay_interval)
+        lr_lat = step_lr(cfg.lr_latent, epoch, cfg.lr_decay_factor,
+                         cfg.lr_decay_interval)
+        upd_dec, opt_dec = adam.update(g_dec, state.opt_dec)
+        upd_lat, opt_lat = adam.update(g_lat, state.opt_lat)
+        params = jax.tree.map(lambda p, u: p - lr_dec * u, state.params,
+                              upd_dec)
+        codes = state.codes - lr_lat * upd_lat
+        metrics = {"loss": loss, **aux, "lr_dec": lr_dec, "lr_lat": lr_lat,
+                   "grad_norm_dec": optax.global_norm(g_dec),
+                   "grad_norm_lat": jnp.linalg.norm(g_lat)}
+        return AdTrainState(params, codes, opt_dec, opt_lat), metrics
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
+                       logger: Optional[MetricLogger] = None,
+                       decoder: Optional[SdfDecoder] = None,
+                       state: Optional[AdTrainState] = None,
+                       start_epoch: int = 0,
+                       checkpoint_fn: Optional[Callable] = None,
+                       ) -> tuple:
+    """Full stage-1 loop. Returns (decoder, final AdTrainState, metrics).
+
+    `checkpoint_fn(epoch, state)` is invoked every `cfg.snapshot_every`
+    epochs (utils/checkpoint.py provides the orbax-backed one).
+    """
+    assert len(dataset) == cfg.num_scenes, (
+        f"dataset has {len(dataset)} scenes, config says {cfg.num_scenes}")
+    decoder = decoder or SdfDecoder(cfg.decoder)
+    key = jax.random.PRNGKey(cfg.seed)
+    if state is None:
+        key, k_init = jax.random.split(key)
+        state = init_ad_state(cfg, decoder, k_init)
+    step_fn = make_ad_train_step(decoder, cfg)
+    logger = logger or MetricLogger()
+    rng = np.random.default_rng(cfg.seed + 1)
+
+    last_metrics: dict = {}
+    steps_done = 0
+    t_start = time.perf_counter()
+    for epoch in range(start_epoch, cfg.num_epochs):
+        for batch in dataset.epoch_batches(rng, cfg.scenes_per_batch,
+                                           cfg.samples_per_scene):
+            key, k_drop = jax.random.split(key)
+            state, metrics = step_fn(state, jnp.asarray(batch.scene_ids),
+                                     jnp.asarray(batch.xyz),
+                                     jnp.asarray(batch.sdf),
+                                     jnp.asarray(epoch, jnp.float32), k_drop)
+            steps_done += 1
+            last_metrics = metrics
+        if logger and (epoch % 10 == 0 or epoch == cfg.num_epochs - 1):
+            m = {k: float(v) for k, v in last_metrics.items()}
+            dt = time.perf_counter() - t_start
+            logger.log("ad_epoch", epoch=epoch, steps=steps_done,
+                       steps_per_sec=steps_done / max(dt, 1e-9), **m)
+        if checkpoint_fn and cfg.snapshot_every and (
+                (epoch + 1) % cfg.snapshot_every == 0
+                or epoch == cfg.num_epochs - 1):
+            checkpoint_fn(epoch, state)
+    jax.block_until_ready(state.codes)
+    return decoder, state, last_metrics
