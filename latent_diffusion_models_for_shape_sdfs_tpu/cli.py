@@ -1,0 +1,170 @@
+"""CLI entry points (lineage script set: preprocess / train-ad / train-diff
+/ sample / reconstruct / eval, SURVEY.md s2.2 `cli`).
+
+    python -m latent_diffusion_models_for_shape_sdfs_tpu <cmd> ...
+
+Every training/eval command takes an experiment directory holding
+specs.json (create one with `init-experiment`). Individual config fields
+can be overridden at init with --set dotted.key=value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+
+
+def _parse_value(s: str):
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError:
+        return s
+
+
+def cmd_init(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        ExperimentConfig, override)
+    cfg = ExperimentConfig(name=pathlib.Path(args.exp_dir).name,
+                           data_source=args.data)
+    overrides = {"ad.num_scenes": args.scenes} if args.scenes else {}
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        overrides[k] = _parse_value(v)
+    if overrides:
+        cfg = override(cfg, **overrides)
+    path = cfg.save(args.exp_dir)
+    print(f"wrote {path}")
+
+
+def cmd_train_ad(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_train_ad)
+    run_train_ad(args.exp_dir, resume=args.resume)
+    print("stage-1 training complete")
+
+
+def cmd_train_diff(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_train_diff)
+    run_train_diff(args.exp_dir, resume=args.resume)
+    print("stage-2 training complete")
+
+
+def cmd_sample(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_sample)
+    meshes = run_sample(args.exp_dir, num=args.num, res=args.res,
+                        class_id=args.class_id, seed=args.seed)
+    print(f"wrote {len(meshes)} meshes under "
+          f"{pathlib.Path(args.exp_dir) / 'samples'}")
+
+
+def cmd_reconstruct(args):
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_reconstruct)
+    if args.obs:
+        with np.load(args.obs) as z:
+            rows = (np.concatenate([z["pos"], z["neg"]])
+                    if "pos" in z.files else z[z.files[0]])
+    else:  # analytic demo observation set
+        from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
+        shape = analytic.make_shape(args.analytic,
+                                    np.random.default_rng(args.seed or 0))
+        xyz, d = analytic.sample_sdf_points(shape, args.points,
+                                            np.random.default_rng(1))
+        rows = np.concatenate([xyz, d[:, None]], axis=1)
+    idx = np.random.default_rng(2).permutation(len(rows))[:args.points]
+    rows = rows[idx]
+    _, v, f = run_reconstruct(args.exp_dir, rows[:, :3], rows[:, 3],
+                              name=args.name, res=args.res)
+    print(f"reconstructed mesh: {len(v)} verts, {len(f)} faces -> "
+          f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}.obj")
+
+
+def cmd_eval(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import run_eval
+    out = run_eval(args.exp_dir, num_points=args.points)
+    print(json.dumps(out, indent=2))
+
+
+def cmd_preprocess(args):
+    """Mesh file(s) -> SDF sample .npz via the native C++ tool."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    binary = root / "native" / "build" / "preprocess_mesh"
+    if not binary.exists():
+        sys.exit("native preprocess tool not built; run: "
+                 "cmake -S native -B native/build && "
+                 "cmake --build native/build")
+    out_dir = pathlib.Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    meshes = ([pathlib.Path(args.mesh)] if pathlib.Path(args.mesh).is_file()
+              else sorted(list(pathlib.Path(args.mesh).glob("*.obj"))
+                          + list(pathlib.Path(args.mesh).glob("*.ply"))))
+    for m in meshes:
+        out = out_dir / (m.stem + ".npz")
+        subprocess.run([str(binary), str(m), str(out),
+                        str(args.samples)], check=True)
+        print(f"{m} -> {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ldm-sdf", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("init-experiment", help="write specs.json")
+    s.add_argument("exp_dir")
+    s.add_argument("--data", default="analytic:sphere")
+    s.add_argument("--scenes", type=int, default=None)
+    s.add_argument("--set", action="append", metavar="KEY=VAL")
+    s.set_defaults(fn=cmd_init)
+
+    s = sub.add_parser("train-ad", help="stage-1 auto-decoder training")
+    s.add_argument("exp_dir")
+    s.add_argument("--resume", action="store_true")
+    s.set_defaults(fn=cmd_train_ad)
+
+    s = sub.add_parser("train-diff", help="stage-2 diffusion training")
+    s.add_argument("exp_dir")
+    s.add_argument("--resume", action="store_true")
+    s.set_defaults(fn=cmd_train_diff)
+
+    s = sub.add_parser("sample", help="sample latents -> meshes")
+    s.add_argument("exp_dir")
+    s.add_argument("--num", type=int, default=None)
+    s.add_argument("--res", type=int, default=None)
+    s.add_argument("--class-id", type=int, default=None)
+    s.add_argument("--seed", type=int, default=None)
+    s.set_defaults(fn=cmd_sample)
+
+    s = sub.add_parser("reconstruct", help="latent-optimize to a mesh")
+    s.add_argument("exp_dir")
+    s.add_argument("--obs", help=".npz with pos/neg [N,4] rows")
+    s.add_argument("--analytic", default="sphere",
+                   help="analytic family for a demo observation set")
+    s.add_argument("--points", type=int, default=8000)
+    s.add_argument("--name", default="recon")
+    s.add_argument("--res", type=int, default=None)
+    s.add_argument("--seed", type=int, default=None)
+    s.set_defaults(fn=cmd_reconstruct)
+
+    s = sub.add_parser("eval", help="chamfer-L2 vs analytic ground truth")
+    s.add_argument("exp_dir")
+    s.add_argument("--points", type=int, default=30_000)
+    s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("preprocess", help="mesh -> SDF samples (native)")
+    s.add_argument("mesh", help="mesh file or directory")
+    s.add_argument("out_dir")
+    s.add_argument("--samples", type=int, default=500_000)
+    s.set_defaults(fn=cmd_preprocess)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,9 +113,13 @@ def sample_surface(shape: dict, n: int, rng: np.random.Generator,
 
 def sample_sdf_points(shape: dict, n: int, rng: np.random.Generator,
                       surface_frac: float = 0.95,
-                      noise_stds=(0.0025, 0.00025)) -> tuple:
+                      noise_stds=(0.05, 0.0158)) -> tuple:
     """Preprocessor-contract sampling: surface-biased two-variance Gaussian
     shells + uniform-in-cube filler, with exact analytic SDF labels.
+
+    noise stds are sqrt of the lineage's variances (0.0025, 0.00025): the
+    shells reach ~+-0.1, matching the clamp_dist=0.1 training design — a
+    tighter spread lets a wide decoder collapse to the constant 0.
 
     Returns (xyz[n,3] fp32, sdf[n] fp32) — the same contract as the native
     preprocess tool's output (SURVEY.md section 3.1).

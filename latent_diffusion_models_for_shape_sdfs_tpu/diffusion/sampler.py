@@ -94,20 +94,24 @@ def ddim_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
 
 def guided_denoise_fn(apply_fn: Callable, params, guidance_scale: float,
                       class_id: jnp.ndarray | None = None,
-                      partial_embed: jnp.ndarray | None = None) -> DenoiseFn:
+                      **cond_kwargs) -> DenoiseFn:
     """Compose a denoiser apply into a (possibly CFG-guided) DenoiseFn.
 
-    guidance_scale == 0: plain conditional (or unconditional) call.
-    guidance_scale > 0: eps = (1+s)*eps_cond - s*eps_uncond.
+    `cond_kwargs` are forwarded verbatim (e.g. obs_xyz/obs_sdf for the
+    partial-SDF-conditioned CondDenoiser). guidance_scale == 0: plain
+    conditional (or unconditional) call. guidance_scale > 0:
+    eps = (1+s)*eps_cond - s*eps_uncond (classifier-free guidance over the
+    class embedding).
     """
+    cond_kwargs = {k: v for k, v in cond_kwargs.items() if v is not None}
 
     def fn(z_t, t):
         cond_eps = apply_fn({"params": params}, z_t, t, class_id=class_id,
-                            partial_embed=partial_embed)
+                            **cond_kwargs)
         if guidance_scale <= 0 or class_id is None:
             return cond_eps
         uncond_eps = apply_fn({"params": params}, z_t, t, class_id=None,
-                              partial_embed=partial_embed)
+                              **cond_kwargs)
         s = guidance_scale
         return (1.0 + s) * cond_eps - s * uncond_eps
 

@@ -6,5 +6,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: 
     make_grid_points,
     decode_grid,
     decode_grid_batch,
+    flax_apply_fn,
     decode_grid_hierarchical,
+    decode_grid_hierarchical_device,
 )

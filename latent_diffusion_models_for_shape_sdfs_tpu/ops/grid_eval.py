@@ -29,7 +29,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ApplyFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (z, xyz)->sdf
+ApplyFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+"""(z [L], xyz [N,3]) -> sdf [N] — a *single* latent against a point set,
+so implementations can hoist per-shape latent projections
+(ops.fused_decoder). Use `flax_apply_fn` to adapt a flax decoder."""
+
+
+def flax_apply_fn(decoder, params, train: bool = False) -> ApplyFn:
+    """Adapt a flax SdfDecoder to the (z, xyz) grid-eval contract."""
+
+    def apply_fn(z, xyz):
+        zz = jnp.broadcast_to(z, xyz.shape[:-1] + z.shape)
+        return decoder.apply({"params": params}, zz, xyz, train=train)
+
+    return apply_fn
 
 
 def make_grid_points(res: int, lo: float = -1.0, hi: float = 1.0) -> np.ndarray:
@@ -57,8 +70,7 @@ def _decode_grid_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     def eval_chunk(c):
         flat = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         xyz = _flat_to_xyz(jnp.minimum(flat, total - 1), res)
-        zz = jnp.broadcast_to(z, (chunk,) + z.shape)
-        return apply_fn(zz, xyz)
+        return apply_fn(z, xyz)
 
     out = jax.lax.map(eval_chunk, jnp.arange(nchunks, dtype=jnp.int32))
     return out.reshape(-1)[:total].reshape(res, res, res)
@@ -81,12 +93,7 @@ def _decode_grid_batch_impl(apply_fn: ApplyFn, zs: jnp.ndarray, res: int,
     def eval_chunk(c):
         flat = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
         xyz = _flat_to_xyz(jnp.minimum(flat, total - 1), res)
-
-        def one(zi):
-            zz = jnp.broadcast_to(zi, (chunk,) + zi.shape)
-            return apply_fn(zz, xyz)
-
-        return jax.vmap(one)(zs)  # [S, chunk]
+        return jax.vmap(lambda zi: apply_fn(zi, xyz))(zs)  # [S, chunk]
 
     out = jax.lax.map(eval_chunk, jnp.arange(nchunks, dtype=jnp.int32))
     out = jnp.moveaxis(out, 1, 0).reshape(S, -1)[:, :total]
@@ -116,16 +123,13 @@ def _eval_block_centers(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     # center of the block in fine-index space -> world coords
     center_idx = ijk * block + (block - 1) / 2.0
     xyz = center_idx * (2.0 / (res - 1)) - 1.0
-    zz = jnp.broadcast_to(z, (nb ** 3,) + z.shape)
-    return apply_fn(zz, xyz)
+    return apply_fn(z, xyz)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
-                 res: int, block: int) -> jnp.ndarray:
-    """Evaluate K blocks of block^3 fine voxels. block_flat [K] -> [K, b^3]."""
+def _block_points(block_flat: jnp.ndarray, res: int,
+                  block: int) -> jnp.ndarray:
+    """World coords of every fine voxel in each block. [K, b^3, 3]."""
     nb = res // block
-    K = block_flat.shape[0]
     zc = block_flat % nb
     yc = (block_flat // nb) % nb
     xc = block_flat // (nb * nb)
@@ -134,9 +138,91 @@ def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
     off3 = jnp.stack([off // (block * block), (off // block) % block,
                       off % block], axis=-1)[None, :, :]         # [1,b^3,3]
     idx = (base + off3).astype(jnp.float32)
-    xyz = (idx * (2.0 / (res - 1)) - 1.0).reshape(K * block ** 3, 3)
-    zz = jnp.broadcast_to(z, (K * block ** 3,) + z.shape)
-    return apply_fn(zz, xyz).reshape(K, block ** 3)
+    return idx * (2.0 / (res - 1)) - 1.0
+
+
+# Memory bound for one flat apply_fn call inside block evaluation: keeps
+# the [points, hidden] activation slab ~<= 1 GB at hidden width 512.
+_MAX_POINTS_PER_GROUP = 1 << 20
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
+                 res: int, block: int) -> jnp.ndarray:
+    """Evaluate K blocks of block^3 fine voxels. block_flat [K] -> [K, b^3].
+
+    Internally lax.map's over fixed-size block groups so peak activation
+    memory is bounded regardless of K (a flat K*b^3-point apply at 256^3+
+    would otherwise allocate tens of GB)."""
+    K = block_flat.shape[0]
+    group = max(1, min(K, _MAX_POINTS_PER_GROUP // block ** 3))
+    ngroups = math.ceil(K / group)
+    pad = ngroups * group - K
+    ids = jnp.pad(block_flat, (0, pad), mode="edge").reshape(ngroups, group)
+
+    def eval_group(gids):
+        xyz = _block_points(gids, res, block).reshape(group * block ** 3, 3)
+        return apply_fn(z, xyz).reshape(group, block ** 3)
+
+    out = jax.lax.map(eval_group, ids)
+    return out.reshape(ngroups * group, block ** 3)[:K]
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4), static_argnames=("safety",))
+def _decode_grid_hier_device_impl(apply_fn: ApplyFn, z: jnp.ndarray,
+                                  res: int, block: int, capacity: int,
+                                  safety: float = 1.5):
+    nb = res // block
+    h = 2.0 / (res - 1)
+    tau = safety * (block * h * math.sqrt(3.0) / 2.0)
+    centers = _eval_block_centers(apply_fn, z, res, block)      # [nb^3]
+    absc = jnp.abs(centers)
+    act = absc <= tau
+    n_active = jnp.sum(act.astype(jnp.int32))
+    # k blocks nearest the surface; includes every active block whenever
+    # n_active <= capacity (checked by the caller via the returned count).
+    score = jnp.where(act, absc, jnp.inf)
+    _, idx = jax.lax.top_k(-score, capacity)                    # [capacity]
+    valid = act[idx]
+    vals = _eval_blocks(apply_fn, z, idx.astype(jnp.int32), res, block)
+    coarse_fill = jnp.repeat(centers, block ** 3).reshape(nb ** 3,
+                                                          block ** 3)
+    grid = coarse_fill.at[idx].set(
+        jnp.where(valid[:, None], vals, coarse_fill[idx]))
+    grid = grid.reshape(nb, nb, nb, block, block, block)
+    grid = grid.transpose(0, 3, 1, 4, 2, 5).reshape(res, res, res)
+    return grid, n_active
+
+
+def decode_grid_hierarchical_device(apply_fn: ApplyFn, z: jnp.ndarray,
+                                    res: int, block: int = 16,
+                                    capacity: int = 2048,
+                                    safety: float = 1.5):
+    """Fully on-device coarse->fine decode: ONE compiled program, zero host
+    round-trips, grid stays device-resident (d2h streaming is the caller's
+    choice). A fixed `capacity` of near-surface blocks is refined (top-k by
+    |center SDF|), giving static shapes; the returned stats report the true
+    active count so callers can detect capacity overflow and re-run with a
+    larger capacity (the coarse fill keeps signs correct regardless, but
+    surface blocks beyond capacity would stay at coarse resolution).
+
+    Returns (grid [res]^3 device array, stats dict with scalar ints).
+    """
+    assert res % block == 0, "res must be divisible by block"
+    nb = res // block
+    capacity = min(capacity, nb ** 3)
+    grid, n_active = _decode_grid_hier_device_impl(
+        apply_fn, z, res, block, capacity, safety=safety)
+    stats = {
+        "coarse_evals": nb ** 3,
+        "fine_evals": capacity * block ** 3,
+        "active_blocks": int(n_active),
+        "capacity": capacity,
+        "capacity_exceeded": bool(int(n_active) > capacity),
+        "total_blocks": int(nb ** 3),
+        "effective_voxels": res ** 3,
+    }
+    return grid, stats
 
 
 def decode_grid_hierarchical(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
@@ -163,14 +249,17 @@ def decode_grid_hierarchical(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
 
     total_fine_evals = 0
     K = len(active)
+    # Pad every call to a multiple of 256 blocks: bounds the number of
+    # distinct compiled shapes of _eval_blocks (K is data-dependent and
+    # would otherwise trigger a recompile per shape).
     for start in range(0, K, max_blocks_per_call):
         ids = active[start:start + max_blocks_per_call]
-        pad = (-len(ids)) % max_blocks_per_call if K > max_blocks_per_call \
-            else 0
+        pad = (-len(ids)) % 256
         ids_p = np.pad(ids, (0, pad), mode="edge") if pad else ids
         vals = np.asarray(_eval_blocks(apply_fn, z, jnp.asarray(ids_p), res,
-                                       block))[:len(ids)]
-        total_fine_evals += vals.size
+                                       block))
+        total_fine_evals += vals.size  # padded evals are real compute
+        vals = vals[:len(ids)]
         bx, by, bz = (ids // (nb * nb), (ids // nb) % nb, ids % nb)
         grid[bx, by, bz] = vals.reshape(-1, block, block, block)
 

@@ -1,0 +1,110 @@
+"""Data-parallel wrappers: sharded training step, sharded DDIM, sharded
+grid decode (BASELINE.json:11 "data-parallel training on v4-8, 512^3 chunked
+grid decode + sharded DDIM sampling").
+
+Strategy (SURVEY.md s2.3): GSPMD via jit + NamedSharding. The batch axes
+are sharded over the 'data' mesh axis; decoder params, the latent table
+(~6 MB), and optimizer states are replicated. The latent-table gradient is
+a dense scatter from sharded rows — XLA inserts the psum over ICI. No
+manual collectives anywhere; semantics are bit-identical to single-device
+because the loss reductions are global sums.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import AdConfig
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
+    DATA_AXIS, batch_sharded, replicated)
+from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+    make_ad_train_step)
+
+
+def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
+                          mesh: Mesh) -> Callable:
+    """Sharded stage-1 train step: scene axis split over the mesh.
+
+    cfg.scenes_per_batch must be divisible by the mesh size. Returned
+    callable has the same signature as the single-chip step.
+    """
+    n = mesh.devices.size
+    assert cfg.scenes_per_batch % n == 0, (
+        f"scenes_per_batch={cfg.scenes_per_batch} not divisible by "
+        f"mesh size {n}")
+    step = make_ad_train_step(decoder, cfg, jit=False)
+    rep = replicated(mesh)
+    ids_s = batch_sharded(mesh, 1)
+    xyz_s = batch_sharded(mesh, 3)
+    sdf_s = batch_sharded(mesh, 2)
+    # state/epoch/key replicated (prefix pytree shardings), batch sharded.
+    return jax.jit(
+        step,
+        in_shardings=(rep, ids_s, xyz_s, sdf_s, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def dp_ddim_sample(denoise_fn, schedule, key, num: int, latent_size: int,
+                   mesh: Mesh, steps: int = 50) -> jnp.ndarray:
+    """DDIM with the sample batch sharded over the mesh — the scan body is
+    elementwise per latent so no collectives appear inside the loop."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
+        ddim_sample)
+    n = mesh.devices.size
+    assert num % n == 0, f"num={num} not divisible by mesh size {n}"
+    out_sharding = batch_sharded(mesh, 2)
+    fn = jax.jit(
+        partial(ddim_sample, denoise_fn, schedule, num=num,
+                latent_size=latent_size, steps=steps),
+        out_shardings=out_sharding)
+    return fn(key)
+
+
+def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
+                          mesh: Mesh, chunk: int = 262_144) -> jnp.ndarray:
+    """Evaluate one latent on a flat point set sharded over the mesh.
+
+    This is the 512^3 scale-out path: the caller streams fixed-size point
+    slabs (device_count * chunk each); every query is independent so the
+    only communication is the initial shard scatter. apply_fn follows the
+    grid-eval contract (z [L], xyz [N,3]) -> [N]."""
+    n = mesh.devices.size
+    N = xyz.shape[0]
+    assert N % n == 0, f"point count {N} not divisible by mesh size {n}"
+    pts_s = batch_sharded(mesh, 2)
+    out_s = batch_sharded(mesh, 1)
+
+    @partial(jax.jit, in_shardings=(None, pts_s), out_shardings=out_s)
+    def run(zz, pts):
+        return apply_fn(zz, pts)
+
+    return run(z, xyz)
+
+
+def decode_grid_sharded(apply_fn, z: jnp.ndarray, res: int, mesh: Mesh,
+                        slab_points: int = 2_097_152):
+    """Full res^3 grid decode, point axis sharded over the mesh, streamed
+    to host slab by slab (bounded HBM for 512^3 = 512 MB output)."""
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        _flat_to_xyz)
+    n = mesh.devices.size
+    slab = (slab_points // n) * n
+    total = res ** 3
+    out = np.empty((total,), np.float32)
+    for start in range(0, total, slab):
+        count = min(slab, total - start)
+        pad = (-count) % n
+        flat = jnp.arange(start, start + count + pad, dtype=jnp.int32)
+        pts = _flat_to_xyz(jnp.minimum(flat, total - 1), res)
+        vals = decode_points_sharded(apply_fn, z, pts, mesh)
+        out[start:start + count] = np.asarray(vals)[:count]
+    return out.reshape(res, res, res)

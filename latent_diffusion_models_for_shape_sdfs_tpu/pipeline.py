@@ -1,0 +1,277 @@
+"""Experiment pipeline: wires config + data + training + checkpoints +
+sampling + reconstruction around the experiment-dir convention
+(SURVEY.md s5.6). The CLI (cli.py) is a thin argparse front over this.
+
+Stage handoff: stage 2 reads stage 1's checkpoint read-only (frozen codes);
+sampling reads both. Every stage is resumable from its latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+    ExperimentConfig, experiment_layout)
+from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
+from latent_diffusion_models_for_shape_sdfs_tpu.data.sdf_dataset import SdfDataset
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+from latent_diffusion_models_for_shape_sdfs_tpu.models.denoiser import CondDenoiser
+from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+    AdTrainState, init_ad_state, train_auto_decoder)
+from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion import (
+    DiffTrainState, init_diff_state, train_diffusion, unnormalize_codes)
+from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule import (
+    DiffusionSchedule)
+from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
+    ddim_sample, ddpm_sample, guided_denoise_fn)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+    decode_grid, flax_apply_fn)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
+    make_fast_apply)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+    extract_mesh)
+from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+    StageCheckpointer)
+from latent_diffusion_models_for_shape_sdfs_tpu.utils.logging import MetricLogger
+from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+
+
+def build_dataset(cfg: ExperimentConfig) -> SdfDataset:
+    src = cfg.data_source
+    if src.startswith("analytic:"):
+        family = src.split(":", 1)[1]
+        shapes = analytic.make_synthetic_split(family, cfg.ad.num_scenes,
+                                               seed=cfg.ad.seed)
+        return SdfDataset.from_analytic(shapes)
+    if src.startswith("sdf:"):
+        return SdfDataset.from_dir(src.split(":", 1)[1])
+    raise ValueError(f"unknown data source {src!r}")
+
+
+# --------------------------------------------------------------- stage 1
+
+
+def run_train_ad(exp_dir: str, resume: bool = False,
+                 dataset: Optional[SdfDataset] = None) -> AdTrainState:
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    dataset = dataset or build_dataset(cfg)
+    decoder = SdfDecoder(cfg.ad.decoder)
+    ckpt = StageCheckpointer(exp_dir, "auto_decoder")
+    logger = MetricLogger(lay["logs"] / "train_ad.jsonl", echo=True)
+
+    state = init_ad_state(cfg.ad, decoder, jax.random.PRNGKey(cfg.ad.seed))
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state = AdTrainState(**ckpt.restore(state._asdict()))
+        start_epoch = ckpt.latest_step() + 1
+        logger.log("resume", stage="auto_decoder", epoch=start_epoch)
+
+    def save(epoch, st):
+        ckpt.save(epoch, st._asdict())
+
+    _, state, metrics = train_auto_decoder(
+        cfg.ad, dataset, logger=logger, decoder=decoder, state=state,
+        start_epoch=start_epoch, checkpoint_fn=save)
+    save(cfg.ad.num_epochs - 1, state)
+    ckpt.close()
+    logger.close()
+    return state
+
+
+def load_ad_state(exp_dir: str) -> tuple:
+    """(decoder, AdTrainState) from the latest stage-1 checkpoint."""
+    cfg = ExperimentConfig.load(exp_dir)
+    decoder = SdfDecoder(cfg.ad.decoder)
+    ckpt = StageCheckpointer(exp_dir, "auto_decoder")
+    template = init_ad_state(cfg.ad, decoder,
+                             jax.random.PRNGKey(cfg.ad.seed))
+    state = AdTrainState(**ckpt.restore(template._asdict()))
+    ckpt.close()
+    return decoder, state
+
+
+# --------------------------------------------------------------- stage 2
+
+
+def _cond_banks(cfg: ExperimentConfig, dataset: Optional[SdfDataset]):
+    """(class_ids, obs_xyz, obs_sdf) conditioning banks for training."""
+    dn = cfg.diff.denoiser
+    class_ids = obs_xyz = obs_sdf = None
+    if dataset is not None and dn.num_classes > 0:
+        class_ids = dataset.class_ids
+    if dataset is not None and dn.partial_sdf_cond:
+        rng = np.random.default_rng(cfg.diff.seed)
+        xs, ds_ = [], []
+        for i in range(len(dataset)):
+            rows = dataset.sample_scene(i, dn.partial_points, rng)
+            xs.append(rows[:, :3])
+            ds_.append(rows[:, 3])
+        obs_xyz = np.stack(xs)
+        obs_sdf = np.stack(ds_)
+    return class_ids, obs_xyz, obs_sdf
+
+
+def run_train_diff(exp_dir: str, resume: bool = False,
+                   dataset: Optional[SdfDataset] = None) -> tuple:
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    _, ad_state = load_ad_state(exp_dir)
+    if dataset is None and (cfg.diff.denoiser.num_classes > 0
+                            or cfg.diff.denoiser.partial_sdf_cond):
+        dataset = build_dataset(cfg)
+    class_ids, obs_xyz, obs_sdf = _cond_banks(cfg, dataset)
+
+    model = CondDenoiser(cfg.diff.denoiser)
+    ckpt = StageCheckpointer(exp_dir, "diffusion")
+    logger = MetricLogger(lay["logs"] / "train_diff.jsonl", echo=True)
+    state = init_diff_state(cfg.diff, model,
+                            jax.random.PRNGKey(cfg.diff.seed))
+    if resume and ckpt.latest_step() is not None:
+        tmpl = {"state": state._asdict(),
+                "mu": jnp.zeros((cfg.diff.denoiser.latent_size,)),
+                "sigma": jnp.zeros((cfg.diff.denoiser.latent_size,))}
+        restored = ckpt.restore(tmpl)
+        state = DiffTrainState(**restored["state"])
+        logger.log("resume", stage="diffusion", step=int(state.step))
+
+    def save(step, st, mu, sigma):
+        ckpt.save(step, {"state": st._asdict(), "mu": mu, "sigma": sigma})
+
+    model, state, (mu, sigma), loss = train_diffusion(
+        cfg.diff, ad_state.codes, class_ids=class_ids, obs_xyz=obs_xyz,
+        obs_sdf=obs_sdf, logger=logger, state=state, checkpoint_fn=save)
+    save(int(state.step), state, mu, sigma)
+    ckpt.close()
+    logger.close()
+    return model, state, (mu, sigma)
+
+
+def load_diff_state(exp_dir: str) -> tuple:
+    cfg = ExperimentConfig.load(exp_dir)
+    model = CondDenoiser(cfg.diff.denoiser)
+    ckpt = StageCheckpointer(exp_dir, "diffusion")
+    tmpl_state = init_diff_state(cfg.diff, model,
+                                 jax.random.PRNGKey(cfg.diff.seed))
+    L = cfg.diff.denoiser.latent_size
+    tmpl = {"state": tmpl_state._asdict(), "mu": jnp.zeros((L,)),
+            "sigma": jnp.zeros((L,))}
+    restored = ckpt.restore(tmpl)
+    ckpt.close()
+    return (model, DiffTrainState(**restored["state"]),
+            (restored["mu"], restored["sigma"]))
+
+
+# --------------------------------------------------------------- sampling
+
+
+def run_sample(exp_dir: str, num: Optional[int] = None,
+               res: Optional[int] = None, class_id: Optional[int] = None,
+               seed: Optional[int] = None, use_ema: bool = True,
+               write_meshes: bool = True) -> list:
+    """Sample latents with DDPM/DDIM, decode to meshes under <exp>/samples.
+    Returns list of (verts, faces)."""
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    sc = cfg.sample
+    num = num or sc.num_samples
+    res = res or sc.grid_res
+    seed = sc.seed if seed is None else seed
+
+    decoder, ad_state = load_ad_state(exp_dir)
+    model, dstate, (mu, sigma) = load_diff_state(exp_dir)
+    params = dstate.ema_params if use_ema else dstate.params
+    schedule = DiffusionSchedule.create(cfg.diff.timesteps,
+                                        cfg.diff.beta_start,
+                                        cfg.diff.beta_end)
+    cid = (jnp.full((num,), class_id, jnp.int32)
+           if class_id is not None else None)
+    fn = guided_denoise_fn(model.apply, params, sc.guidance_scale,
+                           class_id=cid)
+    key = jax.random.PRNGKey(seed)
+    L = cfg.diff.denoiser.latent_size
+    if sc.sampler == "ddim":
+        zn = ddim_sample(fn, schedule, key, num, L, steps=sc.ddim_steps)
+    else:
+        zn = ddpm_sample(fn, schedule, key, num, L)
+    zs = unnormalize_codes(zn, mu, sigma)
+
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    meshes = []
+    for i in range(num):
+        grid = np.asarray(decode_grid(apply_fn, zs[i], res,
+                                      chunk=sc.grid_chunk))
+        v, f = extract_mesh(grid, iso=sc.iso_level)
+        meshes.append((v, f))
+        if write_meshes:
+            meshio.write_obj(lay["samples"] / f"sample_{i:03d}.obj", v, f)
+    return meshes
+
+
+# ----------------------------------------------------------- reconstruct
+
+
+def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
+                    name: str = "recon", res: Optional[int] = None) -> tuple:
+    """Latent-optimize against observations, decode, write mesh.
+    Returns (z, verts, faces)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
+        reconstruct_latent)
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    res = res or cfg.sample.grid_res
+    decoder, ad_state = load_ad_state(exp_dir)
+    z, info = reconstruct_latent(decoder, ad_state.params,
+                                 jnp.asarray(obs_xyz), jnp.asarray(obs_sdf),
+                                 cfg.reconstruct)
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    grid = np.asarray(decode_grid(apply_fn, z, res,
+                                  chunk=cfg.sample.grid_chunk))
+    v, f = extract_mesh(grid)
+    meshio.write_obj(lay["reconstructions"] / f"{name}.obj", v, f)
+    return z, v, f
+
+
+# ------------------------------------------------------------------ eval
+
+
+def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
+    """Chamfer-L2 of each training scene's reconstruction-from-latent
+    against its ground truth (analytic sources only for GT sampling)."""
+    import json
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        chamfer_l2, sample_mesh_surface)
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    if not cfg.data_source.startswith("analytic:"):
+        raise ValueError("run_eval needs analytic GT surfaces offline")
+    decoder, ad_state = load_ad_state(exp_dir)
+    shapes = analytic.make_synthetic_split(
+        cfg.data_source.split(":", 1)[1], cfg.ad.num_scenes,
+        seed=cfg.ad.seed)
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    results = {}
+    for i, shape in enumerate(shapes):
+        grid = np.asarray(decode_grid(apply_fn, ad_state.codes[i],
+                                      cfg.sample.grid_res,
+                                      chunk=cfg.sample.grid_chunk))
+        v, f = extract_mesh(grid)
+        if len(f) == 0:
+            results[str(i)] = float("inf")
+            continue
+        pred = sample_mesh_surface(v, f, num_points, seed=i)
+        gt = analytic.sample_surface(shape, num_points,
+                                     np.random.default_rng(i))
+        results[str(i)] = chamfer_l2(pred, gt)
+    finite = [x for x in results.values() if np.isfinite(x)]
+    out = {"chamfer_l2": results,
+           "mean": float(np.mean(finite)) if finite else float("inf"),
+           "num_failed": len(results) - len(finite)}
+    lay["evals"].mkdir(parents=True, exist_ok=True)
+    (lay["evals"] / "chamfer.json").write_text(json.dumps(out, indent=2))
+    return out

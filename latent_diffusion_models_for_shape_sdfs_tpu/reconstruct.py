@@ -1,0 +1,102 @@
+"""Test-time latent inference (lineage `reconstruct.py` semantics).
+
+Given a frozen decoder and observed (xyz, sdf) samples of an unseen or
+partial shape, MAP-optimize a latent code:
+
+    min_z  clamped_l1(decoder(z, xyz), sdf) + (1/sigma^2) ||z||^2 / N
+
+~800 Adam steps, lr 5e-3 dropped 10x at step 400 (lineage default
+adjust_learning_rate schedule). The whole optimization is ONE compiled
+`lax.scan` on device — observations upload once, the loop never touches
+the host (SURVEY.md s3.5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import ReconstructConfig
+from latent_diffusion_models_for_shape_sdfs_tpu import losses
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+
+
+def reconstruct_latent(decoder: SdfDecoder, params: dict,
+                       obs_xyz: jnp.ndarray, obs_sdf: jnp.ndarray,
+                       cfg: ReconstructConfig = ReconstructConfig(),
+                       key: Optional[jax.Array] = None) -> tuple:
+    """Optimize one latent against observations. Returns (z [L], info)."""
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    L = decoder.cfg.latent_size
+    z0 = cfg.init_std * jax.random.normal(key, (L,), jnp.float32)
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    n = obs_xyz.shape[0]
+    prior_w = 1.0 / (cfg.code_reg_sigma ** 2)
+
+    def loss_fn(z, xyz, sdf):
+        zz = jnp.broadcast_to(z, (n, L))
+        pred = decoder.apply({"params": params}, zz, xyz, train=False)
+        l1 = losses.clamped_l1(pred, sdf, cfg.clamp_dist, n)
+        reg = prior_w * jnp.sum(z * z) / n
+        return l1 + reg, l1
+
+    @partial(jax.jit, donate_argnums=())
+    def run(z0, xyz, sdf):
+        def body(carry, step):
+            z, opt = carry
+            (loss, l1), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                z, xyz, sdf)
+            lr = jnp.where(step < cfg.lr_decay_at, cfg.lr, cfg.lr * 0.1)
+            upd, opt = tx.update(g, opt)
+            z = z - lr * upd
+            return (z, opt), (loss, l1)
+
+        (z, _), (hist, l1_hist) = jax.lax.scan(
+            body, (z0, tx.init(z0)), jnp.arange(cfg.num_steps))
+        return z, hist, l1_hist
+
+    z, hist, l1_hist = run(z0, jnp.asarray(obs_xyz, jnp.float32),
+                           jnp.asarray(obs_sdf, jnp.float32))
+    info = {"loss_first": float(hist[0]), "loss_last": float(hist[-1]),
+            "l1_last": float(l1_hist[-1]), "steps": cfg.num_steps}
+    return z, info
+
+
+def reconstruct_latent_batch(decoder: SdfDecoder, params: dict,
+                             obs_xyz: jnp.ndarray, obs_sdf: jnp.ndarray,
+                             cfg: ReconstructConfig = ReconstructConfig(),
+                             key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """vmapped reconstruction for a batch of shapes.
+    obs_xyz [B,N,3], obs_sdf [B,N] -> z [B,L]."""
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    B, n, _ = obs_xyz.shape
+    L = decoder.cfg.latent_size
+    z0 = cfg.init_std * jax.random.normal(key, (B, L), jnp.float32)
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    prior_w = 1.0 / (cfg.code_reg_sigma ** 2)
+
+    def loss_fn(z, xyz, sdf):
+        zz = jnp.broadcast_to(z, (n, L))
+        pred = decoder.apply({"params": params}, zz, xyz, train=False)
+        return (losses.clamped_l1(pred, sdf, cfg.clamp_dist, n)
+                + prior_w * jnp.sum(z * z) / n)
+
+    @jax.jit
+    def run(z0, xyz, sdf):
+        def body(carry, step):
+            z, opt = carry
+            g = jax.vmap(jax.grad(loss_fn))(z, xyz, sdf)
+            lr = jnp.where(step < cfg.lr_decay_at, cfg.lr, cfg.lr * 0.1)
+            upd, opt = tx.update(g, opt)
+            return (z - lr * upd, opt), ()
+
+        (z, _), _ = jax.lax.scan(body, (z0, tx.init(z0)),
+                                 jnp.arange(cfg.num_steps))
+        return z
+
+    return run(z0, jnp.asarray(obs_xyz, jnp.float32),
+               jnp.asarray(obs_sdf, jnp.float32))

@@ -1,0 +1,130 @@
+// Marching-tetrahedra isosurface core: identical algorithm to the Python
+// reference (ops/isosurface.py) — 6-tet cube decomposition around the main
+// diagonal, lattice-edge-keyed vertex welding — promoted to C++ for 512^3
+// grids (SURVEY.md s2.4 native ledger).
+#pragma once
+#include <array>
+#include <cstdint>
+#include <unordered_map>
+#include <vector>
+
+namespace mt {
+
+struct MeshOut {
+  std::vector<float> verts;    // [nv*3]
+  std::vector<int64_t> faces;  // [nf*3]
+};
+
+// Corner order: bit0=x, bit1=y, bit2=z (matches the Python tables).
+inline constexpr int kCorners[8][3] = {
+    {0, 0, 0}, {1, 0, 0}, {0, 1, 0}, {1, 1, 0},
+    {0, 0, 1}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1}};
+inline constexpr int kTets[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7}};
+
+// grid: R^3 float32, x-major (index (i*R + j)*R + k).
+inline MeshOut extract(const float* grid, int R, float iso,
+                       const float origin[3], float spacing) {
+  MeshOut out;
+  std::unordered_map<uint64_t, int64_t> edge_to_vertex;
+  edge_to_vertex.reserve(1 << 20);
+  const int64_t R3 = static_cast<int64_t>(R) * R * R;
+
+  auto gid = [&](int x, int y, int z) -> int64_t {
+    return (static_cast<int64_t>(x) * R + y) * R + z;
+  };
+  auto value = [&](int64_t g) { return grid[g]; };
+
+  // Emit (or reuse) the welded vertex on lattice edge (ga, gb).
+  auto edge_vertex = [&](int64_t ga, int64_t gb) -> int64_t {
+    int64_t lo = ga < gb ? ga : gb, hi = ga < gb ? gb : ga;
+    uint64_t key = static_cast<uint64_t>(lo) * static_cast<uint64_t>(R3)
+                   + static_cast<uint64_t>(hi);
+    auto it = edge_to_vertex.find(key);
+    if (it != edge_to_vertex.end()) return it->second;
+    float va = value(ga), vb = value(gb);
+    float denom = vb - va;
+    float t = std::abs(denom) > 1e-12f ? (iso - va) / denom : 0.5f;
+    t = t < 0 ? 0 : (t > 1 ? 1 : t);
+    // decode lattice coords
+    auto coords = [&](int64_t g, float* p) {
+      int z = static_cast<int>(g % R);
+      int y = static_cast<int>((g / R) % R);
+      int x = static_cast<int>(g / (static_cast<int64_t>(R) * R));
+      p[0] = origin[0] + spacing * x;
+      p[1] = origin[1] + spacing * y;
+      p[2] = origin[2] + spacing * z;
+    };
+    float pa[3], pb[3];
+    coords(ga, pa);
+    coords(gb, pb);
+    int64_t idx = static_cast<int64_t>(out.verts.size() / 3);
+    for (int i = 0; i < 3; ++i)
+      out.verts.push_back(pa[i] + t * (pb[i] - pa[i]));
+    edge_to_vertex.emplace(key, idx);
+    return idx;
+  };
+
+  auto emit_tri = [&](int64_t e0a, int64_t e0b, int64_t e1a, int64_t e1b,
+                      int64_t e2a, int64_t e2b) {
+    int64_t v0 = edge_vertex(e0a, e0b);
+    int64_t v1 = edge_vertex(e1a, e1b);
+    int64_t v2 = edge_vertex(e2a, e2b);
+    if (v0 == v1 || v1 == v2 || v0 == v2) return;  // degenerate after weld
+    out.faces.push_back(v0);
+    out.faces.push_back(v1);
+    out.faces.push_back(v2);
+  };
+
+  const int n = R - 1;
+  int64_t cg[8];
+  for (int x = 0; x < n; ++x) {
+    for (int y = 0; y < n; ++y) {
+      for (int z = 0; z < n; ++z) {
+        bool any_lo = false, any_hi = false;
+        for (int c = 0; c < 8; ++c) {
+          cg[c] = gid(x + kCorners[c][0], y + kCorners[c][1],
+                      z + kCorners[c][2]);
+          (value(cg[c]) < iso ? any_lo : any_hi) = true;
+        }
+        if (!any_lo || !any_hi) continue;  // cell not crossed
+        for (const auto& tet : kTets) {
+          int64_t tg[4];
+          float tv[4];
+          int mask = 0;
+          for (int i = 0; i < 4; ++i) {
+            tg[i] = cg[tet[i]];
+            tv[i] = value(tg[i]);
+            if (tv[i] < iso) mask |= 1 << i;
+          }
+          if (mask == 0 || mask == 15) continue;
+          int count = __builtin_popcount(static_cast<unsigned>(mask));
+          if (count == 1 || count == 3) {
+            int lone = -1;
+            for (int i = 0; i < 4; ++i) {
+              bool inside = (mask >> i) & 1;
+              if ((count == 1 && inside) || (count == 3 && !inside)) lone = i;
+            }
+            int o[3], oi = 0;
+            for (int i = 0; i < 4; ++i)
+              if (i != lone) o[oi++] = i;
+            emit_tri(tg[lone], tg[o[0]], tg[lone], tg[o[1]], tg[lone],
+                     tg[o[2]]);
+          } else {  // count == 2: quad -> 2 triangles
+            int a = -1, b = -1, c = -1, d = -1;
+            for (int i = 0; i < 4; ++i) {
+              if ((mask >> i) & 1) (a < 0 ? a : b) = i;
+              else (c < 0 ? c : d) = i;
+            }
+            emit_tri(tg[a], tg[c], tg[a], tg[d], tg[b], tg[d]);
+            emit_tri(tg[a], tg[c], tg[b], tg[d], tg[b], tg[c]);
+          }
+        }
+      }
+    }
+  }
+  return out;
+}
+
+}  // namespace mt

@@ -50,8 +50,10 @@ def test_sample_sdf_points_contract():
     assert xyz.dtype == np.float32 and d.dtype == np.float32
     # labels are exact
     np.testing.assert_allclose(d, analytic.sdf(shape, xyz), atol=1e-6)
-    # surface bias: most samples are near the surface
-    assert np.mean(np.abs(d) < 0.02) > 0.7
+    # surface bias: most samples within the +-0.1 clamp band
+    assert np.mean(np.abs(d) < 0.1) > 0.8
+    # ...but with real spread (not collapsed onto the surface)
+    assert np.std(d[np.abs(d) < 0.1]) > 0.01
     # both signs present in near-balanced proportion
     frac_neg = np.mean(d < 0)
     assert 0.3 < frac_neg < 0.7

@@ -1,0 +1,85 @@
+"""CLI smoke tests: every entry point end-to-end on tiny configs
+(SURVEY.md s4.7). Runs in-process (no subprocess) so the single-device
+backend is shared; covers init -> train-ad -> train-diff -> sample ->
+reconstruct -> eval on a 2-scene analytic experiment."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from latent_diffusion_models_for_shape_sdfs_tpu.cli import main
+
+
+TINY_OVERRIDES = [
+    "--set", "ad.decoder.latent_size=8",
+    "--set", "ad.decoder.hidden_dim=32",
+    "--set", "ad.decoder.num_layers=3",
+    "--set", "ad.decoder.latent_in=[2]",
+    "--set", "ad.decoder.use_dropout=false",
+    "--set", "ad.scenes_per_batch=2",
+    "--set", "ad.samples_per_scene=512",
+    "--set", "ad.num_epochs=40",
+    "--set", "ad.clamp_dist=0.5",
+    "--set", "ad.lr_decoder=0.002",
+    "--set", "ad.lr_latent=0.004",
+    "--set", "ad.snapshot_every=20",
+    "--set", "diff.denoiser.latent_size=8",
+    "--set", "diff.denoiser.hidden_dim=32",
+    "--set", "diff.denoiser.num_blocks=1",
+    "--set", "diff.denoiser.time_embed_dim=16",
+    "--set", "diff.timesteps=50",
+    "--set", "diff.batch_size=8",
+    "--set", "diff.num_steps=100",
+    "--set", "diff.scan_chunk=50",
+    "--set", "sample.grid_res=24",
+    "--set", "sample.ddim_steps=10",
+    "--set", "reconstruct.num_steps=50",
+]
+
+
+@pytest.fixture(scope="module")
+def exp(tmp_path_factory):
+    d = tmp_path_factory.mktemp("exp")
+    main(["init-experiment", str(d), "--data", "analytic:sphere",
+          "--scenes", "2", *TINY_OVERRIDES])
+    main(["train-ad", str(d)])
+    return d
+
+
+def test_init_wrote_specs(exp):
+    specs = json.loads((exp / "specs.json").read_text())
+    assert specs["ad"]["num_scenes"] == 2
+    assert specs["ad"]["decoder"]["hidden_dim"] == 32
+
+
+def test_train_ad_checkpointed(exp):
+    assert any((exp / "checkpoints" / "auto_decoder").iterdir())
+    log = (exp / "logs" / "train_ad.jsonl").read_text().strip().splitlines()
+    assert json.loads(log[-1])["event"] == "ad_epoch"
+
+
+def test_train_diff_and_sample(exp):
+    main(["train-diff", str(exp)])
+    assert any((exp / "checkpoints" / "diffusion").iterdir())
+    main(["sample", str(exp), "--num", "2", "--res", "24"])
+    objs = list((exp / "samples").glob("*.obj"))
+    assert len(objs) == 2
+
+
+def test_reconstruct(exp):
+    main(["reconstruct", str(exp), "--analytic", "sphere",
+          "--points", "1024", "--res", "24", "--name", "r0"])
+    assert (exp / "reconstructions" / "r0.obj").exists()
+
+
+def test_eval(exp):
+    main(["eval", str(exp), "--points", "2000"])
+    out = json.loads((exp / "evals" / "chamfer.json").read_text())
+    assert "mean" in out and len(out["chamfer_l2"]) == 2
+
+
+def test_train_ad_resume(exp):
+    # --resume restores the latest epoch and continues without error
+    main(["train-ad", str(exp), "--resume"])

@@ -17,6 +17,8 @@ from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
     train_auto_decoder)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops import (
     decode_grid, extract_mesh)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+    flax_apply_fn)
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
     chamfer_l2, sample_mesh_surface)
 
@@ -60,8 +62,7 @@ def test_sdf_pointwise_accuracy(trained):
 def test_mesh_chamfer(trained):
     cfg, shape, decoder, state, _ = trained
     res = 48
-    apply_fn = lambda z, xyz: decoder.apply({"params": state.params}, z, xyz,
-                                            train=False)
+    apply_fn = flax_apply_fn(decoder, state.params)
     grid = np.asarray(decode_grid(apply_fn, state.codes[0], res, chunk=16384))
     verts, faces = extract_mesh(grid)
     assert len(faces) > 100

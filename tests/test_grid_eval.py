@@ -12,7 +12,8 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
 
 def _sphere_apply(z, xyz):
     # analytic 'decoder': radius comes from the latent's first entry
-    return jnp.linalg.norm(xyz, axis=-1) - z[..., 0]
+    # contract: z [L] single latent, xyz [N,3]
+    return jnp.linalg.norm(xyz, axis=-1) - z[0]
 
 
 def test_decode_grid_matches_host_lattice():
