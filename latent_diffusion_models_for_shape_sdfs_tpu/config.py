@@ -55,6 +55,7 @@ class DecoderConfig:
     use_tanh: bool = False           # tanh on the final scalar
     weight_norm: bool = True
     compute_dtype: str = "float32"   # "bfloat16" fast path for bench runs
+    dropout_impl: str = "xla"        # "pallas": fused hw-PRNG relu+dropout
 
 
 @dataclass(frozen=True)

@@ -57,9 +57,14 @@ class WNLinear(nn.Module):
             w = effective_weight(v, g)
         else:
             w = v
-        # HIGHEST precision: TPU's default fp32 matmul is a reduced-precision
-        # multi-pass; parity with the torch oracle needs true fp32. The bf16
-        # fast path chooses speed via compute_dtype, not via precision.
+        # fp32 inputs: HIGHEST precision (TPU's default fp32 matmul is a
+        # reduced-precision multi-pass; parity with the torch oracle needs
+        # true fp32). bf16 inputs (compute_dtype fast path): single-pass
+        # MXU with fp32 accumulation.
+        if x.dtype == jnp.bfloat16:
+            y = jnp.matmul(x, w.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+            return y + b.astype(jnp.float32)
         y = jnp.matmul(x, w.astype(x.dtype),
                        precision=jax.lax.Precision.HIGHEST)
         return y + b.astype(x.dtype)
@@ -125,10 +130,27 @@ class SdfDecoder(nn.Module):
             x = WNLinear(out, use_weight_norm=c.weight_norm,
                          name=f"lin{layer}")(x)
             if layer < n_lin - 1:
-                x = nn.relu(x)
-                if c.use_dropout and c.dropout_prob > 0:
-                    x = nn.Dropout(rate=c.dropout_prob,
-                                   deterministic=not train)(x)
+                use_drop = c.use_dropout and c.dropout_prob > 0 and train
+                if use_drop and c.dropout_impl == "pallas":
+                    # fused hw-PRNG relu+dropout kernel: the XLA path's
+                    # threefry mask costs ~200 ms/step at canonical batch
+                    # (4.3e9 bits); the TPU hardware PRNG makes it free.
+                    from latent_diffusion_models_for_shape_sdfs_tpu.ops \
+                        .pallas_kernels import relu_dropout
+                    key_bits = jax.random.key_data(
+                        self.make_rng("dropout"))
+                    seed = (key_bits[-1].astype(jnp.int32)
+                            + jnp.int32(layer * 7919))
+                    x = relu_dropout(x.astype(dtype), seed,
+                                     c.dropout_prob)
+                else:
+                    # bf16 fast path accumulates each matmul in fp32; the
+                    # relu input is re-cast so the next GEMM stays
+                    # single-pass MXU.
+                    x = nn.relu(x).astype(dtype)
+                    if use_drop:
+                        x = nn.Dropout(rate=c.dropout_prob,
+                                       deterministic=False)(x)
         if c.use_tanh:
             x = jnp.tanh(x)
         return x[..., 0].astype(jnp.float32)

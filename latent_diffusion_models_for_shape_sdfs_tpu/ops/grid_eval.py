@@ -146,16 +146,20 @@ def _block_points(block_flat: jnp.ndarray, res: int,
 _MAX_POINTS_PER_GROUP = 1 << 20
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
-                 res: int, block: int) -> jnp.ndarray:
+                 res: int, block: int,
+                 points_per_group: int = _MAX_POINTS_PER_GROUP
+                 ) -> jnp.ndarray:
     """Evaluate K blocks of block^3 fine voxels. block_flat [K] -> [K, b^3].
 
     Internally lax.map's over fixed-size block groups so peak activation
     memory is bounded regardless of K (a flat K*b^3-point apply at 256^3+
-    would otherwise allocate tens of GB)."""
+    would otherwise allocate tens of GB). Callers that vmap this (batched
+    decode) must divide points_per_group by the batch size — vmap scales
+    every group activation by the batch."""
     K = block_flat.shape[0]
-    group = max(1, min(K, _MAX_POINTS_PER_GROUP // block ** 3))
+    group = max(1, min(K, points_per_group // block ** 3))
     ngroups = math.ceil(K / group)
     pad = ngroups * group - K
     ids = jnp.pad(block_flat, (0, pad), mode="edge").reshape(ngroups, group)
@@ -168,36 +172,77 @@ def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
     return out.reshape(ngroups * group, block ** 3)[:K]
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4), static_argnames=("safety",))
+def _assemble_blocks(fill_b: jnp.ndarray, vals: jnp.ndarray,
+                     ids: jnp.ndarray, valid: jnp.ndarray, res: int,
+                     block: int, layout: str) -> jnp.ndarray:
+    """Merge per-block fill values and fine block values into the grid.
+
+    fill_b [nb^3]: per-block fill; vals [cap, block^3]: fine values for
+    blocks `ids` (masked by `valid`). Row-granularity scatter (fast on
+    TPU — element-granularity gather/scatter is ~20x slower here).
+
+    layout="xmajor": [res,res,res] via a 6D transpose. XLA pads the two
+    minor dims of the transpose temp to (8,128) tiles, so this costs up to
+    128/block x the grid's bytes in HBM — fine through 256^3, OOM at
+    512^3/block<8. layout="block": returns [nb^3, block^3] (row = block
+    x-major id, col = within-block x-major offset); convert on host with
+    `unblock_grid` (one memcpy-bound pass, always cheaper than the d2h
+    transfer it follows).
+    """
+    nb = res // block
+    cap = vals.shape[0]
+    grid = jnp.repeat(fill_b, block ** 3).reshape(nb ** 3, block ** 3)
+    grid = grid.at[jnp.where(valid, ids, nb ** 3)].set(vals, mode="drop")
+    if layout == "block":
+        return grid
+    grid = grid.reshape(nb, nb, nb, block, block, block)
+    return grid.transpose(0, 3, 1, 4, 2, 5).reshape(res, res, res)
+
+
+def unblock_grid(block_grid: np.ndarray, res: int, block: int) -> np.ndarray:
+    """Host-side block-layout -> x-major [res,res,res] (numpy view ops)."""
+    nb = res // block
+    g = np.asarray(block_grid).reshape(nb, nb, nb, block, block, block)
+    return np.ascontiguousarray(
+        g.transpose(0, 3, 1, 4, 2, 5)).reshape(res, res, res)
+
+
+def auto_layout(res: int, block: int, budget_bytes: int = 4 << 30) -> str:
+    """Pick xmajor when the padded transpose temp fits comfortably."""
+    pad_factor = max(1, 128 // block) * max(1, 8 // block)
+    return "xmajor" if res ** 3 * 4 * pad_factor <= budget_bytes else "block"
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4),
+         static_argnames=("safety", "layout"))
 def _decode_grid_hier_device_impl(apply_fn: ApplyFn, z: jnp.ndarray,
                                   res: int, block: int, capacity: int,
-                                  safety: float = 1.5):
+                                  safety: float = 1.5,
+                                  layout: str = "xmajor"):
     nb = res // block
     h = 2.0 / (res - 1)
     tau = safety * (block * h * math.sqrt(3.0) / 2.0)
     centers = _eval_block_centers(apply_fn, z, res, block)      # [nb^3]
-    absc = jnp.abs(centers)
-    act = absc <= tau
-    n_active = jnp.sum(act.astype(jnp.int32))
-    # k blocks nearest the surface; includes every active block whenever
-    # n_active <= capacity (checked by the caller via the returned count).
-    score = jnp.where(act, absc, jnp.inf)
-    _, idx = jax.lax.top_k(-score, capacity)                    # [capacity]
-    valid = act[idx]
+    act = jnp.abs(centers) <= tau
+    # O(n) cumsum-scatter compaction of active block ids (no TPU sort);
+    # completeness when n_active <= capacity is checked by the caller via
+    # the returned count.
+    npos = jnp.cumsum(act.astype(jnp.int32)) - 1
+    pos = jnp.where(act, npos, capacity)
+    idx = jnp.zeros((capacity,), jnp.int32).at[pos].set(
+        jnp.arange(act.shape[0], dtype=jnp.int32), mode="drop")
+    n_active = npos[-1] + 1
+    valid = jnp.arange(capacity) < n_active
     vals = _eval_blocks(apply_fn, z, idx.astype(jnp.int32), res, block)
-    coarse_fill = jnp.repeat(centers, block ** 3).reshape(nb ** 3,
-                                                          block ** 3)
-    grid = coarse_fill.at[idx].set(
-        jnp.where(valid[:, None], vals, coarse_fill[idx]))
-    grid = grid.reshape(nb, nb, nb, block, block, block)
-    grid = grid.transpose(0, 3, 1, 4, 2, 5).reshape(res, res, res)
+    grid = _assemble_blocks(centers, vals, idx, valid, res, block, layout)
     return grid, n_active
 
 
 def decode_grid_hierarchical_device(apply_fn: ApplyFn, z: jnp.ndarray,
                                     res: int, block: int = 16,
                                     capacity: int = 2048,
-                                    safety: float = 1.5):
+                                    safety: float = 1.5,
+                                    layout: str = "auto"):
     """Fully on-device coarse->fine decode: ONE compiled program, zero host
     round-trips, grid stays device-resident (d2h streaming is the caller's
     choice). A fixed `capacity` of near-surface blocks is refined (top-k by
@@ -211,9 +256,12 @@ def decode_grid_hierarchical_device(apply_fn: ApplyFn, z: jnp.ndarray,
     assert res % block == 0, "res must be divisible by block"
     nb = res // block
     capacity = min(capacity, nb ** 3)
+    if layout == "auto":
+        layout = auto_layout(res, block)
     grid, n_active = _decode_grid_hier_device_impl(
-        apply_fn, z, res, block, capacity, safety=safety)
+        apply_fn, z, res, block, capacity, safety=safety, layout=layout)
     stats = {
+        "layout": layout,
         "coarse_evals": nb ** 3,
         "fine_evals": capacity * block ** 3,
         "active_blocks": int(n_active),
@@ -223,6 +271,161 @@ def decode_grid_hierarchical_device(apply_fn: ApplyFn, z: jnp.ndarray,
         "effective_voxels": res ** 3,
     }
     return grid, stats
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6),
+         static_argnames=("safety", "layout", "points_per_group"))
+def _decode_grid_hier2_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
+                            b1: int, b2: int, cap1: int, cap2: int,
+                            safety: float = 1.5, layout: str = "xmajor",
+                            points_per_group: int = _MAX_POINTS_PER_GROUP):
+    """Two-level coarse->mid->fine sparse decode, single compiled program.
+
+    L0 evaluates b1-block centers; the cap1 blocks nearest the surface are
+    refined to b2-sub-block centers (L1); the cap2 sub-blocks nearest the
+    surface are evaluated densely (L2). Grid assembled at b2 granularity:
+    parent-center fill -> sub-center fill -> fine values.
+    """
+    r = b1 // b2
+    nb1 = res // b1
+    nb2 = res // b2
+    h = 2.0 / (res - 1)
+    tau1 = safety * (b1 * h * math.sqrt(3.0) / 2.0)
+    tau2 = safety * (b2 * h * math.sqrt(3.0) / 2.0)
+
+    def compact(mask, cap):
+        """Indices of set mask bits, packed into a cap-sized buffer.
+        O(n) cumsum+scatter — no TPU sort (top_k is a bitonic sort and
+        dominated the runtime at ~200k candidates). Returns (ids [cap],
+        valid [cap], n_active); overflow beyond cap is dropped."""
+        n = mask.shape[0]
+        npos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        pos = jnp.where(mask, npos, cap)  # cap = OOB -> dropped
+        ids = jnp.zeros((cap,), jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        n_active = npos[-1] + 1
+        valid = jnp.arange(cap) < n_active
+        return ids, valid, n_active
+
+    # ---- L0: b1-block centers
+    c1 = _eval_block_centers(apply_fn, z, res, b1)             # [nb1^3]
+    act1 = jnp.abs(c1) <= tau1
+    idx1, valid1, n1 = compact(act1, cap1)                     # [cap1]
+
+    # ---- L1: sub-block centers of the selected parents
+    # parent block (x1,y1,z1) -> its r^3 sub-blocks in b2-block space
+    x1, y1, z1 = (idx1 // (nb1 * nb1), (idx1 // nb1) % nb1, idx1 % nb1)
+    off = jnp.arange(r ** 3, dtype=jnp.int32)
+    ox, oy, oz = off // (r * r), (off // r) % r, off % r
+    sx = x1[:, None] * r + ox[None, :]                         # [cap1, r^3]
+    sy = y1[:, None] * r + oy[None, :]
+    sz = z1[:, None] * r + oz[None, :]
+    sub_ids = (sx * nb2 + sy) * nb2 + sz                       # b2-flat ids
+    # centers of those sub-blocks in world coords
+    cidx = jnp.stack([sx, sy, sz], -1).astype(jnp.float32) * b2 \
+        + (b2 - 1) / 2.0
+    sub_xyz = (cidx * (2.0 / (res - 1)) - 1.0).reshape(cap1 * r ** 3, 3)
+    c2 = apply_fn(z, sub_xyz).reshape(cap1, r ** 3)            # [cap1, r^3]
+
+    act2 = (jnp.abs(c2) <= tau2) & valid1[:, None]
+    flat_ids = sub_ids.reshape(-1)
+    sel, valid2, n2 = compact(act2.reshape(-1), cap2)
+    ids2 = flat_ids[sel].astype(jnp.int32)                     # [cap2]
+
+    # ---- L2: fine voxels of selected sub-blocks
+    vals = _eval_blocks(apply_fn, z, ids2, res, b2,
+                        points_per_group)                      # [cap2, b2^3]
+
+    # ---- assemble at b2 granularity: parent b1-center fill, overwritten
+    # by computed sub-centers where available, then fine block values.
+    bx = jnp.arange(nb2, dtype=jnp.int32) // r
+    parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
+        + bx[None, None, :]
+    fill2 = c1[parent.reshape(-1)]                             # [nb2^3]
+    fill2 = fill2.at[jnp.where(valid1[:, None], sub_ids, nb2 ** 3)
+                     .reshape(-1)].set(c2.reshape(-1), mode="drop")
+    grid = _assemble_blocks(fill2, vals, ids2, valid2, res, b2, layout)
+    return grid, n1, n2
+
+
+def decode_grid_hierarchical2_device(apply_fn: ApplyFn, z: jnp.ndarray,
+                                     res: int, b1: int = 16, b2: int = 4,
+                                     cap1: int = 3072, cap2: int = 8192,
+                                     safety: float = 1.5,
+                                     check_overflow: bool = True,
+                                     layout: str = "auto"):
+    """Two-level on-device sparse decode (see _decode_grid_hier2_impl).
+
+    ~3-6x fewer true evaluations than the single-level path at 256^3+.
+    With check_overflow=False no host sync happens at all (stats carry
+    device scalars) — the timed production path.
+    """
+    assert res % b1 == 0 and b1 % b2 == 0
+    cap1 = min(cap1, (res // b1) ** 3)
+    cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
+    if layout == "auto":
+        layout = auto_layout(res, b2)
+    grid, n1, n2 = _decode_grid_hier2_impl(apply_fn, z, res, b1, b2,
+                                           cap1, cap2, safety=safety,
+                                           layout=layout)
+    stats = {
+        "layout": layout,
+        "coarse_evals": (res // b1) ** 3,
+        "mid_evals": cap1 * (b1 // b2) ** 3,
+        "fine_evals": cap2 * b2 ** 3,
+        "active_l1": n1, "active_l2": n2,
+        "cap1": cap1, "cap2": cap2,
+        "effective_voxels": res ** 3,
+    }
+    if check_overflow:
+        stats["active_l1"] = int(n1)
+        stats["active_l2"] = int(n2)
+        stats["capacity_exceeded"] = (stats["active_l1"] > cap1
+                                      or stats["active_l2"] > cap2)
+    return grid, stats
+
+
+def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,
+                                    res: int, b1: int = 16, b2: int = 4,
+                                    cap1: int = 1024, cap2: int = 9216,
+                                    safety: float = 1.2,
+                                    layout: str = "block",
+                                    check_overflow: bool = True):
+    """vmapped two-level sparse decode for a batch of latents
+    (BASELINE.json:10 "batched 256^3 grid decode for 64 shapes/step").
+
+    Returns (grids [S, ...], stats). Default layout "block" ([S, nb2^3,
+    b2^3]) — batched x-major assembly multiplies the padded-transpose HBM
+    traffic by S; unblock on host per shape. Batch in shape-chunks the
+    caller sizes to HBM (e.g. 16 shapes x 64 MB at 256^3).
+    """
+    assert res % b1 == 0 and b1 % b2 == 0
+    cap1 = min(cap1, (res // b1) ** 3)
+    cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
+    if layout == "auto":
+        layout = auto_layout(res, b2)
+    ppg = max(b2 ** 3, _MAX_POINTS_PER_GROUP // int(zs.shape[0]))
+    grids, n1, n2 = jax.vmap(
+        lambda zz: _decode_grid_hier2_impl(apply_fn, zz, res, b1, b2, cap1,
+                                           cap2, safety=safety,
+                                           layout=layout,
+                                           points_per_group=ppg))(zs)
+    stats = {
+        "layout": layout,
+        "coarse_evals": zs.shape[0] * (res // b1) ** 3,
+        "mid_evals": zs.shape[0] * cap1 * (b1 // b2) ** 3,
+        "fine_evals": zs.shape[0] * cap2 * b2 ** 3,
+        "active_l1": n1, "active_l2": n2,
+        "cap1": cap1, "cap2": cap2,
+        "effective_voxels": zs.shape[0] * res ** 3,
+    }
+    if check_overflow:
+        stats["active_l1"] = np.asarray(n1)
+        stats["active_l2"] = np.asarray(n2)
+        stats["capacity_exceeded"] = bool(
+            (stats["active_l1"] > cap1).any()
+            or (stats["active_l2"] > cap2).any())
+    return grids, stats
 
 
 def decode_grid_hierarchical(apply_fn: ApplyFn, z: jnp.ndarray, res: int,

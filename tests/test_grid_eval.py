@@ -45,6 +45,64 @@ def test_decode_grid_batch():
         np.testing.assert_allclose(grids[i], ref, atol=1e-5)
 
 
+def test_hier2_device_matches_dense_at_crossings():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical2_device, unblock_grid)
+    res = 64
+    z = jnp.asarray([0.45])
+    dense = np.asarray(decode_grid(_sphere_apply, z, res, chunk=8192))
+    gx, st = decode_grid_hierarchical2_device(_sphere_apply, z, res, 16, 4,
+                                              64, 1024, safety=1.2,
+                                              layout="xmajor")
+    assert not st["capacity_exceeded"], st
+    gb, _ = decode_grid_hierarchical2_device(_sphere_apply, z, res, 16, 4,
+                                             64, 1024, safety=1.2,
+                                             layout="block")
+    np.testing.assert_array_equal(unblock_grid(np.asarray(gb), res, 4),
+                                  np.asarray(gx))
+    # every voxel adjacent to a sign change must carry the exact fine value
+    sign = dense < 0
+    crossing = np.zeros_like(sign)
+    for ax in range(3):
+        d = np.diff(sign, axis=ax)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(0, -1)
+        crossing[tuple(sl)] |= d.astype(bool)
+        sl[ax] = slice(1, None)
+        crossing[tuple(sl)] |= d.astype(bool)
+    np.testing.assert_allclose(np.asarray(gx)[crossing], dense[crossing],
+                               atol=1e-5)
+    # far cells keep correct signs (no spurious surfaces)
+    far = np.abs(dense) > 0.1
+    assert np.all(np.sign(np.asarray(gx)[far]) == np.sign(dense[far]))
+
+
+def test_hier2_batch_matches_single():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical2_batch, decode_grid_hierarchical2_device)
+    res = 32
+    zs = jnp.asarray([[0.35], [0.5], [0.62]])
+    gb, st = decode_grid_hierarchical2_batch(_sphere_apply, zs, res, 16, 4,
+                                             8, 512, safety=1.2,
+                                             layout="block")
+    assert not st["capacity_exceeded"], st
+    for i in range(3):
+        g1, _ = decode_grid_hierarchical2_device(
+            _sphere_apply, zs[i], res, 16, 4, 8, 512, safety=1.2,
+            layout="block", check_overflow=False)
+        np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(g1),
+                                   atol=1e-5)
+
+
+def test_hier2_capacity_overflow_detected():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical2_device)
+    _, st = decode_grid_hierarchical2_device(_sphere_apply,
+                                             jnp.asarray([0.5]), 32, 16, 4,
+                                             8, 16, safety=1.5)
+    assert st["capacity_exceeded"]  # 16 sub-blocks can't cover the sphere
+
+
 def test_hierarchical_agrees_near_surface_and_skips_far():
     res = 64
     z = jnp.asarray([0.45])
