@@ -225,6 +225,29 @@ def main():
     log(f"train bf16+pallas-dropout: {dt_bf * 1e3:.1f} ms/step -> "
         f"{1 / dt_bf:.2f} steps/s ({S * P / dt_bf:.3e} pairs/s)")
 
+    # fully fused Pallas train kernel (fwd+loss+bwd in VMEM, hw-PRNG
+    # dropout in-kernel): blocked per step — kernel outputs (the loss)
+    # resolve before the optimizer tail, so end-only fencing under-counts.
+    cfg_pk = AdConfig(decoder=DecoderConfig(), num_scenes=64,
+                      scenes_per_batch=64, samples_per_scene=16384,
+                      use_pallas=True)
+    dec_pk = SdfDecoder(cfg_pk.decoder)
+    state_pk = init_ad_state(cfg_pk, dec_pk, jax.random.PRNGKey(2))
+    step_pk = make_ad_train_step(dec_pk, cfg_pk)
+    state_pk, mm = step_pk(state_pk, ids, xyz, sdf, ep,
+                           jax.random.PRNGKey(9))
+    jax.block_until_ready(state_pk.codes)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state_pk, mm = step_pk(state_pk, ids, xyz, sdf, ep,
+                               jax.random.PRNGKey(9))
+        jax.block_until_ready(state_pk.codes)
+    dt_pk = (time.perf_counter() - t0) / 5
+    details["train_steps_per_sec_fused_pallas"] = 1.0 / dt_pk
+    details["train_pairs_per_sec_fused_pallas"] = S * P / dt_pk
+    log(f"train fused-pallas kernel: {dt_pk * 1e3:.1f} ms/step -> "
+        f"{1 / dt_pk:.2f} steps/s ({S * P / dt_pk:.3e} pairs/s)")
+
     # ---------------- DDIM-50 samples/sec
     ncfg = DenoiserConfig()
     den = LatentDenoiserMLP(ncfg)

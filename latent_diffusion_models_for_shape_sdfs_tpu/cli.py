@@ -42,7 +42,9 @@ def cmd_init(args):
 def cmd_train_ad(args):
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
         run_train_ad)
-    run_train_ad(args.exp_dir, resume=args.resume)
+    run_train_ad(args.exp_dir, resume=args.resume,
+                 fault_inject_epoch=args.fault_inject,
+                 debug_nans=args.debug_nans)
     print("stage-1 training complete")
 
 
@@ -125,6 +127,10 @@ def main(argv=None):
     s = sub.add_parser("train-ad", help="stage-1 auto-decoder training")
     s.add_argument("exp_dir")
     s.add_argument("--resume", action="store_true")
+    s.add_argument("--fault-inject", type=int, default=None,
+                   metavar="EPOCH", help="debug: die after EPOCH's ckpt")
+    s.add_argument("--debug-nans", action="store_true",
+                   help="run under jax nan-checker (CI numerics mode)")
     s.set_defaults(fn=cmd_train_ad)
 
     s = sub.add_parser("train-diff", help="stage-2 diffusion training")

@@ -428,6 +428,31 @@ def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,
     return grids, stats
 
 
+def decode_grid_adaptive(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
+                         chunk: int = 262_144) -> np.ndarray:
+    """Production single-shape decode: two-level hierarchical with
+    capacity-escalation retries, dense fallback for small grids.
+    Returns a host x-major [res,res,res] array."""
+    if res < 64 or res % 16 != 0:
+        return np.asarray(decode_grid(apply_fn, z, res, chunk=chunk))
+    nb1 = res // 16
+    cap1 = max(256, nb1 ** 3 // 4)
+    cap2 = max(2048, res ** 2 // 4)  # ~surface-shell scale
+    for _ in range(4):
+        grid, stats = decode_grid_hierarchical2_device(
+            apply_fn, z, res, 16, 4, cap1, cap2, safety=1.2)
+        if not stats["capacity_exceeded"]:
+            if stats["layout"] == "block":
+                return unblock_grid(np.asarray(grid), res, 4)
+            return np.asarray(grid)
+        if stats["active_l1"] > stats["cap1"]:
+            cap1 *= 2
+        if stats["active_l2"] > stats["cap2"]:
+            cap2 *= 2
+    # degenerate/huge-surface shape: dense is always correct
+    return np.asarray(decode_grid(apply_fn, z, res, chunk=chunk))
+
+
 def decode_grid_hierarchical(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
                              block: int = 8, safety: float = 1.5,
                              max_blocks_per_call: int = 4096,

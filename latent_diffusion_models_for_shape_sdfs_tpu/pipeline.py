@@ -30,7 +30,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule import (
 from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
     ddim_sample, ddpm_sample, guided_denoise_fn)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-    decode_grid, flax_apply_fn)
+    decode_grid, decode_grid_adaptive, flax_apply_fn)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
     make_fast_apply)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
@@ -57,7 +57,12 @@ def build_dataset(cfg: ExperimentConfig) -> SdfDataset:
 
 
 def run_train_ad(exp_dir: str, resume: bool = False,
-                 dataset: Optional[SdfDataset] = None) -> AdTrainState:
+                 dataset: Optional[SdfDataset] = None,
+                 fault_inject_epoch: Optional[int] = None,
+                 debug_nans: bool = False) -> AdTrainState:
+    """`fault_inject_epoch`: kill the process right after that epoch's
+    checkpoint (SURVEY.md s5.3 failure-recovery drill; resume with
+    --resume). `debug_nans`: run under jax's NaN checker (s5.2)."""
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
     dataset = dataset or build_dataset(cfg)
@@ -74,10 +79,18 @@ def run_train_ad(exp_dir: str, resume: bool = False,
 
     def save(epoch, st):
         ckpt.save(epoch, st._asdict())
+        if fault_inject_epoch is not None and epoch >= fault_inject_epoch:
+            logger.log("fault_injected", epoch=epoch)
+            raise SystemExit(42)
 
-    _, state, metrics = train_auto_decoder(
-        cfg.ad, dataset, logger=logger, decoder=decoder, state=state,
-        start_epoch=start_epoch, checkpoint_fn=save)
+    import contextlib
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.profiling import (
+        debug_nans as debug_nans_ctx)
+    ctx = debug_nans_ctx(True) if debug_nans else contextlib.nullcontext()
+    with ctx:
+        _, state, metrics = train_auto_decoder(
+            cfg.ad, dataset, logger=logger, decoder=decoder, state=state,
+            start_epoch=start_epoch, checkpoint_fn=save)
     save(cfg.ad.num_epochs - 1, state)
     ckpt.close()
     logger.close()
@@ -204,8 +217,12 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
     apply_fn = make_fast_apply(decoder, ad_state.params)
     meshes = []
     for i in range(num):
-        grid = np.asarray(decode_grid(apply_fn, zs[i], res,
-                                      chunk=sc.grid_chunk))
+        if sc.hierarchical:
+            grid = decode_grid_adaptive(apply_fn, zs[i], res,
+                                        chunk=sc.grid_chunk)
+        else:
+            grid = np.asarray(decode_grid(apply_fn, zs[i], res,
+                                          chunk=sc.grid_chunk))
         v, f = extract_mesh(grid, iso=sc.iso_level)
         meshes.append((v, f))
         if write_meshes:

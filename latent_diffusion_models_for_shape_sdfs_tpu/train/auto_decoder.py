@@ -90,9 +90,21 @@ def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
                               squared=cfg.code_reg_squared)
         return l1 + reg, {"loss_l1": l1, "loss_reg": reg}
 
+    if cfg.use_pallas:
+        # fused Pallas fwd+loss+bwd kernel (ops/fused_train.py): zero HBM
+        # activation traffic; same (loss, aux), (g_dec, g_lat) contract.
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train \
+            import make_pallas_ad_loss_grads
+        value_and_grads = make_pallas_ad_loss_grads(decoder, cfg)
+    else:
+        def value_and_grads(params, codes, scene_ids, xyz, sdf, epoch,
+                            key):
+            return jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                      has_aux=True)(
+                params, codes, scene_ids, xyz, sdf, epoch, key)
+
     def step(state: AdTrainState, scene_ids, xyz, sdf, epoch, key):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
-                                                has_aux=True)(
+        (loss, aux), grads = value_and_grads(
             state.params, state.codes, scene_ids, xyz, sdf, epoch, key)
         g_dec, g_lat = grads
         lr_dec = step_lr(cfg.lr_decoder, epoch, cfg.lr_decay_factor,
@@ -133,7 +145,12 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
     if state is None:
         key, k_init = jax.random.split(key)
         state = init_ad_state(cfg, decoder, k_init)
-    step_fn = make_ad_train_step(decoder, cfg)
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        from latent_diffusion_models_for_shape_sdfs_tpu.parallel import (
+            make_mesh, make_dp_ad_train_step)
+        step_fn = make_dp_ad_train_step(decoder, cfg, make_mesh())
+    else:
+        step_fn = make_ad_train_step(decoder, cfg)
     logger = logger or MetricLogger()
     rng = np.random.default_rng(cfg.seed + 1)
 

@@ -1,0 +1,119 @@
+"""Distributed tests on a simulated 8-device CPU mesh (SURVEY.md s4.5).
+
+The axon sitecustomize pins this environment's default backend to the TPU
+at interpreter startup, so these tests run the real multi-device checks in
+a SUBPROCESS with a cleaned environment (conftest.cpu_sim_env). Covered:
+
+  - sharded stage-1 train step == single-device step (exact math: the
+    batch reductions are global sums, so GSPMD changes nothing)
+  - sharded DDIM sampling == single-device sampling
+  - sharded point decode == local decode
+  - dryrun_multichip (the driver contract) executes
+"""
+
+import pathlib
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from conftest import REPO, cpu_sim_env
+
+_SCRIPT = textwrap.dedent("""
+    import numpy as np, jax, jax.numpy as jnp
+    assert len(jax.devices()) == 8, jax.devices()
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        AdConfig, DecoderConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import (
+        SdfDecoder)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel import (
+        make_mesh, make_dp_ad_train_step, dp_ddim_sample,
+        decode_points_sharded)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        decode_grid_sharded)
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+        init_ad_state, make_ad_train_step)
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule import (
+        DiffusionSchedule)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid, flax_apply_fn)
+
+    S, P, L = 16, 128, 16
+    cfg = AdConfig(decoder=DecoderConfig(latent_size=L, hidden_dim=32,
+                                         num_layers=3, latent_in=(2,),
+                                         use_dropout=False),
+                   num_scenes=S, scenes_per_batch=S, samples_per_scene=P)
+    decoder = SdfDecoder(cfg.decoder)
+    mesh = make_mesh(8)
+    ids = jnp.arange(S, dtype=jnp.int32)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (S, P, 3),
+                             jnp.float32, -1, 1)
+    sdf = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (S, P))
+    ep = jnp.asarray(0.0)
+    k = jax.random.PRNGKey(3)
+
+    # --- sharded vs single-device training step, 3 steps
+    st_dp = init_ad_state(cfg, decoder, jax.random.PRNGKey(0))
+    st_1d = jax.tree.map(jnp.copy, st_dp)
+    step_dp = make_dp_ad_train_step(decoder, cfg, mesh)
+    step_1d = make_ad_train_step(decoder, cfg, jit=True)
+    for i in range(3):
+        st_dp, m_dp = step_dp(st_dp, ids, xyz, sdf, ep, k)
+        st_1d, m_1d = step_1d(st_1d, ids, xyz, sdf, ep, k)
+    for a, b in zip(jax.tree.leaves(st_dp), jax.tree.leaves(st_1d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    print("OK train_step")
+
+    # --- sharded DDIM == local DDIM
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
+        ddim_sample)
+    sch = DiffusionSchedule.create(16)
+    fn = lambda z, t: 0.1 * z
+    z_dp = dp_ddim_sample(fn, sch, jax.random.PRNGKey(5), 16, L, mesh,
+                          steps=8)
+    z_1d = ddim_sample(fn, sch, jax.random.PRNGKey(5), 16, L, steps=8)
+    np.testing.assert_allclose(np.asarray(z_dp), np.asarray(z_1d),
+                               rtol=1e-6, atol=1e-7)
+    print("OK ddim")
+
+    # --- sharded point decode == local apply
+    params = decoder.init_params(jax.random.PRNGKey(7))
+    apply_fn = flax_apply_fn(decoder, params)
+    z = 0.05 * jax.random.normal(jax.random.PRNGKey(8), (L,))
+    pts = jax.random.uniform(jax.random.PRNGKey(9), (1024, 3), jnp.float32,
+                             -1, 1)
+    v_dp = decode_points_sharded(apply_fn, z, pts, mesh)
+    v_1d = apply_fn(z, pts)
+    np.testing.assert_allclose(np.asarray(v_dp), np.asarray(v_1d),
+                               rtol=1e-5, atol=1e-6)
+    print("OK point_decode")
+
+    # --- sharded full-grid decode == local decode_grid
+    g_dp = decode_grid_sharded(apply_fn, z, 24, mesh, slab_points=4096)
+    g_1d = np.asarray(decode_grid(apply_fn, z, 24, chunk=4096))
+    np.testing.assert_allclose(g_dp, g_1d, rtol=1e-5, atol=1e-6)
+    print("OK grid_decode")
+
+    # --- driver contract
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", r"{repo}/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    print("OK dryrun_multichip")
+""")
+
+
+@pytest.mark.timeout(600)
+def test_dp_on_8_cpu_devices():
+    script = _SCRIPT.replace("{repo}", str(REPO))
+    proc = subprocess.run([sys.executable, "-c", script],
+                          env=cpu_sim_env(8), capture_output=True,
+                          text=True, timeout=570)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    for marker in ("OK train_step", "OK ddim", "OK point_decode",
+                   "OK grid_decode", "OK dryrun_multichip"):
+        assert marker in proc.stdout, (marker, proc.stdout, proc.stderr[-800:])

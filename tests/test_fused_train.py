@@ -1,0 +1,122 @@
+"""Fused Pallas training kernel parity (SURVEY.md s4.3 / hard part #1):
+loss and every gradient (decoder params incl. weight-norm v/g/b, latent
+rows) against the XLA autodiff path, plus end-to-end trajectory equality
+of the use_pallas train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+    AdConfig, DecoderConfig)
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+    init_ad_state, make_ad_train_step)
+
+TILE = 256
+
+
+def _setup(S=2, P=512, L=16, H=128, layers=3, skip=(2,), seed=0):
+    cfg = AdConfig(
+        decoder=DecoderConfig(latent_size=L, hidden_dim=H,
+                              num_layers=layers, latent_in=skip,
+                              use_dropout=False),
+        num_scenes=S + 1, scenes_per_batch=S, samples_per_scene=P,
+        clamp_dist=0.2, use_pallas=True)
+    dec = SdfDecoder(cfg.decoder)
+    state = init_ad_state(cfg, dec, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.permutation(S + 1)[:S].astype(np.int32))
+    xyz = jnp.asarray(rng.uniform(-1, 1, (S, P, 3)).astype(np.float32))
+    sdf = jnp.asarray((0.15 * rng.normal(size=(S, P))).astype(np.float32))
+    return cfg, dec, state, ids, xyz, sdf
+
+
+def _xla_cfg(cfg):
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import override
+    return override(cfg, use_pallas=False)
+
+
+def test_loss_and_grads_match_xla():
+    cfg, dec, state, ids, xyz, sdf = _setup()
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train import (
+        make_pallas_ad_loss_grads)
+    vng_pk = make_pallas_ad_loss_grads(dec, cfg)
+    ep = jnp.asarray(50.0)
+    key = jax.random.PRNGKey(3)
+    (loss_pk, aux_pk), (gp_pk, gc_pk) = vng_pk(
+        state.params, state.codes, ids, xyz, sdf, ep, key)
+
+    # XLA oracle via the standard step's loss_fn gradients
+    from latent_diffusion_models_for_shape_sdfs_tpu import losses
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.latent_table \
+        import LatentTable, gather_codes
+
+    def loss_fn(params, codes):
+        z = gather_codes(LatentTable(codes), ids)
+        zz = jnp.broadcast_to(z[:, None, :],
+                              (z.shape[0], xyz.shape[1], z.shape[-1]))
+        pred = dec.apply({"params": params},
+                         zz.reshape(-1, cfg.decoder.latent_size),
+                         xyz.reshape(-1, 3), train=False)
+        l1 = losses.clamped_l1(pred, sdf.reshape(-1), cfg.clamp_dist,
+                               cfg.scenes_per_batch
+                               * cfg.samples_per_scene)
+        reg = losses.code_reg(z, ep, cfg.code_reg_lambda,
+                              cfg.code_reg_warmup_epochs,
+                              num_sdf_samples=z.shape[0])
+        return l1 + reg, l1
+
+    (loss_x, l1_x), (gp_x, gc_x) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params, state.codes)
+
+    # fp32 XLA vs bf16 kernel: tolerances scaled to bf16 activation noise
+    assert abs(float(loss_pk) - float(loss_x)) < 2e-3 + 0.02 * float(loss_x)
+    np.testing.assert_allclose(np.asarray(gc_pk), np.asarray(gc_x),
+                               rtol=0.1, atol=2e-6)
+    for lname in gp_x:
+        for pname, ours_key in (("v", "w"), ("b", "b")):
+            pass
+    # compare a few representative param grads (weight-norm v and b)
+    flat_pk = jax.tree.leaves(gp_pk)
+    flat_x = jax.tree.leaves(gp_x)
+    for a, b in zip(flat_pk, flat_x):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = max(1e-8, np.abs(b).max())
+        assert np.max(np.abs(a - b)) < 0.05 * scale + 1e-6, (
+            a.shape, np.max(np.abs(a - b)), scale)
+
+
+def test_untouched_latent_rows_zero_grad():
+    cfg, dec, state, ids, xyz, sdf = _setup(S=2)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train import (
+        make_pallas_ad_loss_grads)
+    vng = make_pallas_ad_loss_grads(dec, cfg)
+    (_, _), (_, gc) = vng(state.params, state.codes, ids, xyz, sdf,
+                          jnp.asarray(0.0), jax.random.PRNGKey(0))
+    touched = set(np.asarray(ids).tolist())
+    for row in range(cfg.num_scenes):
+        if row not in touched:
+            assert np.all(np.asarray(gc[row]) == 0.0), row
+
+
+def test_use_pallas_training_trajectory_close_to_xla():
+    """5 steps of the full train step (Adam included): parameters from the
+    pallas path must track the XLA path within bf16 drift."""
+    cfg, dec, state, ids, xyz, sdf = _setup(S=2, P=512)
+    step_pk = make_ad_train_step(dec, cfg, jit=True)
+    step_x = make_ad_train_step(dec, _xla_cfg(cfg), jit=True)
+    st_a = state
+    st_b = jax.tree.map(jnp.copy, state)
+    for i in range(5):
+        st_a, m_a = step_pk(st_a, ids, xyz, sdf, jnp.asarray(float(i)),
+                            jax.random.PRNGKey(i))
+        st_b, m_b = step_x(st_b, ids, xyz, sdf, jnp.asarray(float(i)),
+                           jax.random.PRNGKey(i))
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 5e-3
+    codes_a, codes_b = np.asarray(st_a.codes), np.asarray(st_b.codes)
+    # Adam normalizes grads, so bf16 grad noise perturbs the trajectory;
+    # the check is that both moved the same way at macro scale
+    assert np.corrcoef(codes_a.ravel(), codes_b.ravel())[0, 1] > 0.99
