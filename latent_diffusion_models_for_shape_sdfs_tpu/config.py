@@ -56,6 +56,8 @@ class DecoderConfig:
     weight_norm: bool = True
     compute_dtype: str = "float32"   # "bfloat16" fast path for bench runs
     dropout_impl: str = "xla"        # "pallas": fused hw-PRNG relu+dropout
+    latent_dropout: bool = False     # lineage option: dropout(0.2) on z input
+    xyz_in_all: bool = False         # lineage option: concat xyz each layer
 
 
 @dataclass(frozen=True)

@@ -100,18 +100,26 @@ class SdfDecoder(nn.Module):
     cfg: DecoderConfig = DecoderConfig()
 
     def layer_dims(self) -> Sequence[tuple]:
-        """[(in_dim, out_dim, takes_skip), ...] for each linear layer."""
+        """[(in_dim, out_dim, takes_skip), ...] for each linear layer.
+
+        Lineage option semantics: a layer feeding a `latent_in` layer
+        shrinks its output by the full input width; with `xyz_in_all`,
+        every non-final layer shrinks by 3 and layers > 0 (that aren't
+        latent_in) re-concat xyz.
+        """
         c = self.cfg
         d_in = c.latent_size + 3
         dims = [d_in] + [c.hidden_dim] * c.num_layers + [1]
+        n_lin = len(dims) - 1
         plan = []
-        for layer in range(len(dims) - 1):
+        for layer in range(n_lin):
             out = dims[layer + 1]
             if (layer + 1) in c.latent_in:
                 out = dims[layer + 1] - dims[0]
+            elif c.xyz_in_all and layer != n_lin - 1:
+                out -= 3
             takes_skip = layer in c.latent_in
-            plan.append((dims[layer] if not takes_skip else dims[layer], out,
-                         takes_skip))
+            plan.append((dims[layer], out, takes_skip))
         return plan
 
     @nn.compact
@@ -119,14 +127,20 @@ class SdfDecoder(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        inp = jnp.concatenate(
-            [z.astype(dtype), xyz.astype(dtype)], axis=-1)
+        z = z.astype(dtype)
+        if c.latent_dropout and train:
+            # lineage option: dropout(0.2) on the latent half of the input
+            z = nn.Dropout(rate=0.2, deterministic=False,
+                           name="latent_drop")(z)
+        inp = jnp.concatenate([z, xyz.astype(dtype)], axis=-1)
         x = inp
         plan = self.layer_dims()
         n_lin = len(plan)
         for layer, (_, out, takes_skip) in enumerate(plan):
             if takes_skip:
                 x = jnp.concatenate([x, inp], axis=-1)
+            elif c.xyz_in_all and layer != 0:
+                x = jnp.concatenate([x, xyz.astype(dtype)], axis=-1)
             x = WNLinear(out, use_weight_norm=c.weight_norm,
                          name=f"lin{layer}")(x)
             if layer < n_lin - 1:

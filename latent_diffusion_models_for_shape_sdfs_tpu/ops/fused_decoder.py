@@ -46,6 +46,9 @@ class EvalWeights(NamedTuple):
 def precompute_eval_weights(decoder: SdfDecoder, params: dict,
                             dtype=jnp.bfloat16) -> EvalWeights:
     cfg = decoder.cfg
+    assert not cfg.xyz_in_all and not cfg.latent_dropout, (
+        "fused eval paths support the canonical plan; use the flax "
+        "decoder for xyz_in_all / latent_dropout variants")
     L = cfg.latent_size
     plan = decoder.layer_dims()
     layers = []

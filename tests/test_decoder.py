@@ -18,11 +18,14 @@ from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
 def build_torch_decoder(cfg: DecoderConfig, params: dict):
     d_in = cfg.latent_size + 3
     dims = [d_in] + [cfg.hidden_dim] * cfg.num_layers + [1]
+    n_lin = len(dims) - 1
     layers = []
     for layer in range(len(dims) - 1):
         out = dims[layer + 1]
         if (layer + 1) in cfg.latent_in:
             out -= dims[0]
+        elif cfg.xyz_in_all and layer != n_lin - 1:
+            out -= 3
         # canonical plan: a latent_in layer's input is (shrunk prev output
         # + re-concat of d_in) == dims[layer]; the declared width is always
         # dims[layer].
@@ -46,6 +49,8 @@ def build_torch_decoder(cfg: DecoderConfig, params: dict):
         for layer, lin in enumerate(layers):
             if layer in cfg.latent_in:
                 x = torch.cat([x, inp], dim=-1)
+            elif cfg.xyz_in_all and layer != 0:
+                x = torch.cat([x, xyz], dim=-1)
             x = lin(x)
             if layer < len(layers) - 1:
                 x = torch.relu(x)
@@ -94,6 +99,39 @@ def test_forward_matches_torch_canonical():
     ref = build_torch_decoder(cfg, params)(
         torch.as_tensor(z), torch.as_tensor(xyz)).detach().numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_xyz_in_all_matches_torch():
+    cfg = DecoderConfig(latent_size=12, hidden_dim=32, num_layers=4,
+                        latent_in=(2,), xyz_in_all=True, use_dropout=False)
+    dec = SdfDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(32, 12)).astype(np.float32)
+    xyz = rng.uniform(-1, 1, size=(32, 3)).astype(np.float32)
+    ours = np.asarray(dec.apply({"params": params}, jnp.asarray(z),
+                                jnp.asarray(xyz), train=False))
+    ref = build_torch_decoder(cfg, params)(
+        torch.as_tensor(z), torch.as_tensor(xyz)).detach().numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_latent_dropout_option():
+    cfg = DecoderConfig(latent_size=8, hidden_dim=16, num_layers=2,
+                        latent_in=(), latent_dropout=True,
+                        use_dropout=False)
+    dec = SdfDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(6))
+    z = jnp.ones((64, 8)) * 0.5
+    xyz = jnp.ones((64, 3)) * 0.1
+    a = dec.apply({"params": params}, z, xyz, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(0)})
+    b = dec.apply({"params": params}, z, xyz, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    c1 = dec.apply({"params": params}, z, xyz, train=False)
+    c2 = dec.apply({"params": params}, z, xyz, train=False)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
 def test_initial_effective_weight_equals_raw_init():
