@@ -154,19 +154,34 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
     logger = logger or MetricLogger()
     rng = np.random.default_rng(cfg.seed + 1)
 
+    # Host-side prefetch: the numpy balanced-subsample work for the next
+    # batch overlaps the (async-dispatched) device step. Depth 2 keeps one
+    # batch in flight without unbounded memory.
+    import queue as _queue
+    import threading as _threading
+
+    def _producer(q, epochs):
+        try:
+            for epoch in epochs:
+                for batch in dataset.epoch_batches(rng,
+                                                   cfg.scenes_per_batch,
+                                                   cfg.samples_per_scene):
+                    q.put((epoch, batch))
+        finally:
+            q.put(None)
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    epochs_iter = range(start_epoch, cfg.num_epochs)
+    producer = _threading.Thread(target=_producer, args=(q, epochs_iter),
+                                 daemon=True)
+    producer.start()
+
     last_metrics: dict = {}
     steps_done = 0
+    cur_epoch = start_epoch
     t_start = time.perf_counter()
-    for epoch in range(start_epoch, cfg.num_epochs):
-        for batch in dataset.epoch_batches(rng, cfg.scenes_per_batch,
-                                           cfg.samples_per_scene):
-            key, k_drop = jax.random.split(key)
-            state, metrics = step_fn(state, jnp.asarray(batch.scene_ids),
-                                     jnp.asarray(batch.xyz),
-                                     jnp.asarray(batch.sdf),
-                                     jnp.asarray(epoch, jnp.float32), k_drop)
-            steps_done += 1
-            last_metrics = metrics
+
+    def on_epoch_end(epoch):
         if logger and (epoch % 10 == 0 or epoch == cfg.num_epochs - 1):
             m = {k: float(v) for k, v in last_metrics.items()}
             dt = time.perf_counter() - t_start
@@ -176,5 +191,26 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
                 (epoch + 1) % cfg.snapshot_every == 0
                 or epoch == cfg.num_epochs - 1):
             checkpoint_fn(epoch, state)
+
+    saw_batch = False
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        epoch, batch = item
+        if saw_batch and epoch != cur_epoch:
+            on_epoch_end(cur_epoch)
+        key, k_drop = jax.random.split(key)
+        state, metrics = step_fn(state, jnp.asarray(batch.scene_ids),
+                                 jnp.asarray(batch.xyz),
+                                 jnp.asarray(batch.sdf),
+                                 jnp.asarray(epoch, jnp.float32), k_drop)
+        steps_done += 1
+        last_metrics = metrics
+        cur_epoch = epoch
+        saw_batch = True
+    if saw_batch:
+        on_epoch_end(cur_epoch)
+    producer.join()
     jax.block_until_ready(state.codes)
     return decoder, state, last_metrics
