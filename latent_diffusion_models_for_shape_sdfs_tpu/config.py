@@ -98,6 +98,7 @@ class AdConfig:
     seed: int = 0
     snapshot_every: int = 100        # epochs between checkpoints
     use_pallas: bool = False         # fused Pallas train kernel (M4)
+    device_data: bool = False        # upload sample bank once, draw on device
     data_parallel: bool = False      # shard batch over the device mesh
 
 

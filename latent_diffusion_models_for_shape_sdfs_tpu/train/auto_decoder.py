@@ -15,6 +15,7 @@ sharded, latent table replicated, grads psum'd.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -90,7 +91,12 @@ def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
                               squared=cfg.code_reg_squared)
         return l1 + reg, {"loss_l1": l1, "loss_reg": reg}
 
-    if cfg.use_pallas:
+    # The fused kernel's in-kernel dropout needs the TPU hardware PRNG —
+    # on CPU (interpret mode) fall back to XLA autodiff when dropout is on.
+    pallas_ok = cfg.use_pallas and (
+        jax.devices()[0].platform != "cpu"
+        or not (cfg.decoder.use_dropout and cfg.decoder.dropout_prob > 0))
+    if pallas_ok:
         # fused Pallas fwd+loss+bwd kernel (ops/fused_train.py): zero HBM
         # activation traffic; same (loss, aux), (g_dec, g_lat) contract.
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train \
@@ -151,6 +157,24 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
         step_fn = make_dp_ad_train_step(decoder, cfg, make_mesh())
     else:
         step_fn = make_ad_train_step(decoder, cfg)
+
+    bank = None
+    if cfg.device_data:
+        # One-time upload of the whole sample store; the balanced draw
+        # happens on device inside the jitted step and the host sends only
+        # 64 scene ids per step (data/device_bank.py).
+        from latent_diffusion_models_for_shape_sdfs_tpu.data.device_bank \
+            import DeviceSampleBank
+        bank = DeviceSampleBank.from_dataset(dataset)
+        raw_step = make_ad_train_step(decoder, cfg, jit=False)
+        P = cfg.samples_per_scene
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def bank_step(state, scene_ids, epoch, key):
+            k_data, k_step = jax.random.split(key)
+            xyz, sdf = bank.sample_batch(k_data, scene_ids, P)
+            return raw_step(state, scene_ids, xyz, sdf, epoch, k_step)
+
     logger = logger or MetricLogger()
     rng = np.random.default_rng(cfg.seed + 1)
 
@@ -163,6 +187,18 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
     def _producer(q, epochs):
         try:
             for epoch in epochs:
+                if bank is not None:
+                    # device-data mode: the host only schedules scene ids
+                    n = len(dataset)
+                    order = rng.permutation(n)
+                    spb = cfg.scenes_per_batch
+                    for start in range(0, n, spb):
+                        ids = order[start:start + spb]
+                        if len(ids) < spb:
+                            pad = rng.permutation(n)[:spb - len(ids)]
+                            ids = np.concatenate([ids, pad])
+                        q.put((epoch, ids.astype(np.int32)))
+                    continue
                 for batch in dataset.epoch_batches(rng,
                                                    cfg.scenes_per_batch,
                                                    cfg.samples_per_scene):
@@ -192,6 +228,14 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
                 or epoch == cfg.num_epochs - 1):
             checkpoint_fn(epoch, state)
 
+    # Wire dtype: the perf paths (fused Pallas kernel / bf16 compute) cast
+    # xyz to bf16 on device anyway, so ship it over PCIe at 2 bytes/elem —
+    # halves the dominant h2d cost of the 12.6 MB/step coordinate feed.
+    # The fp32 parity path keeps full-precision inputs.
+    xyz_wire = (jnp.bfloat16 if (cfg.use_pallas or
+                                 cfg.decoder.compute_dtype == "bfloat16")
+                else jnp.float32)
+
     saw_batch = False
     while True:
         item = q.get()
@@ -201,10 +245,17 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
         if saw_batch and epoch != cur_epoch:
             on_epoch_end(cur_epoch)
         key, k_drop = jax.random.split(key)
-        state, metrics = step_fn(state, jnp.asarray(batch.scene_ids),
-                                 jnp.asarray(batch.xyz),
-                                 jnp.asarray(batch.sdf),
-                                 jnp.asarray(epoch, jnp.float32), k_drop)
+        if bank is not None:
+            state, metrics = bank_step(state, jnp.asarray(batch),
+                                       jnp.asarray(epoch, jnp.float32),
+                                       k_drop)
+        else:
+            state, metrics = step_fn(state, jnp.asarray(batch.scene_ids),
+                                     jnp.asarray(batch.xyz,
+                                                 dtype=xyz_wire),
+                                     jnp.asarray(batch.sdf),
+                                     jnp.asarray(epoch, jnp.float32),
+                                     k_drop)
         steps_done += 1
         last_metrics = metrics
         cur_epoch = epoch

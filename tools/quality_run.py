@@ -72,7 +72,7 @@ def main():
         decoder=DecoderConfig(),  # canonical 8x512, dropout 0.2
         num_scenes=N_TRAIN, scenes_per_batch=64, samples_per_scene=16384,
         clamp_dist=0.1, num_epochs=600, lr_decay_interval=250,
-        use_pallas=True, seed=0)
+        use_pallas=True, device_data=True, seed=0)
     t0 = time.time()
     decoder, state, metrics = train_auto_decoder(
         cfg, ds, logger=MetricLogger(OUT / "train_ad.jsonl"))
