@@ -5,11 +5,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 import torch
 
-# TPU's default fp32 matmul is multi-pass reduced precision; these oracle
-# tests compare against torch-CPU true fp32, so pin HIGHEST globally here.
-jax.config.update("jax_default_matmul_precision", "highest")
+
+@pytest.fixture(autouse=True)
+def _highest_matmul_precision():
+    """TPU's default fp32 matmul is multi-pass reduced precision; these
+    oracle tests compare against torch-CPU true fp32, so pin HIGHEST — but
+    only for this module: the global setting leaks into later tests'
+    Pallas lowering (Mosaic rejects HIGHEST bf16 dots) if left set."""
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
 
 from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import (
     effective_weight,
