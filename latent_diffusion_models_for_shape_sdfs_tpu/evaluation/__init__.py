@@ -4,3 +4,8 @@ from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.chamfer import (  # n
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.mesh_sample import (  # noqa: F401
     sample_mesh_surface,
 )
+from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.generative import (  # noqa: F401
+    evaluate_generated,
+    mmd_coverage,
+    one_nna,
+)

@@ -35,6 +35,22 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_2level(n_slices: int, per_slice: int,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """Two-level ('dcn', 'ici') mesh for multi-slice scale-out
+    (SURVEY.md s5.8): DP over both levels, with gradient psums riding ICI
+    within a slice and DCN across slices. Single-slice runs use
+    `make_mesh`; multi-host additionally needs jax.distributed.initialize
+    before device enumeration."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_slices * per_slice
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_slices, per_slice)
+    return Mesh(arr, ("dcn", DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
