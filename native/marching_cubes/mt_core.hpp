@@ -3,8 +3,12 @@
 // diagonal, lattice-edge-keyed vertex welding — promoted to C++ for 512^3
 // grids (SURVEY.md s2.4 native ledger).
 #pragma once
+#include <algorithm>
 #include <array>
+#include <atomic>
+#include <cmath>
 #include <cstdint>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -77,18 +81,64 @@ inline MeshOut extract(const float* grid, int R, float iso,
     out.faces.push_back(v2);
   };
 
+  // Phase 1 (parallel): scan for surface-crossing cells. A cell crosses
+  // only if a sign change occurs among its 8 corners; scanning is ~99% of
+  // the work at 512^3 so it fans out over x-slabs, while the welding
+  // polygonization of the ~1% active cells stays single-threaded.
   const int n = R - 1;
+  const unsigned n_threads =
+      std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::vector<int64_t>> found(n_threads);
+  {
+    std::atomic<int> next_x{0};
+    auto scan = [&](unsigned tid) {
+      auto& mine = found[tid];
+      int x;
+      while ((x = next_x.fetch_add(1)) < n) {
+        for (int y = 0; y < n; ++y) {
+          const float* row0 = grid + (static_cast<int64_t>(x) * R + y) * R;
+          const float* row1 = row0 + R;                    // y+1
+          const float* row2 = row0 + static_cast<int64_t>(R) * R;  // x+1
+          const float* row3 = row2 + R;                    // x+1, y+1
+          for (int z = 0; z < n; ++z) {
+            bool lo = false, hi = false;
+            for (const float* r : {row0, row1, row2, row3}) {
+              (r[z] < iso ? lo : hi) = true;
+              (r[z + 1] < iso ? lo : hi) = true;
+            }
+            if (lo && hi)
+              mine.push_back((static_cast<int64_t>(x) * n + y) * n + z);
+          }
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(scan, t);
+    for (auto& t : pool) t.join();
+  }
+
+  // Deterministic order regardless of thread scheduling.
+  std::vector<int64_t> cells;
+  {
+    size_t total = 0;
+    for (auto& f : found) total += f.size();
+    cells.reserve(total);
+    for (auto& f : found) cells.insert(cells.end(), f.begin(), f.end());
+    std::sort(cells.begin(), cells.end());
+    edge_to_vertex.reserve(total * 2);
+  }
+
+  // Phase 2 (serial): polygonize crossing cells with welded vertices.
   int64_t cg[8];
-  for (int x = 0; x < n; ++x) {
-    for (int y = 0; y < n; ++y) {
-      for (int z = 0; z < n; ++z) {
-        bool any_lo = false, any_hi = false;
-        for (int c = 0; c < 8; ++c) {
+  {
+    for (int64_t cell : cells) {
+      {
+        const int z = static_cast<int>(cell % n);
+        const int y = static_cast<int>((cell / n) % n);
+        const int x = static_cast<int>(cell / (static_cast<int64_t>(n) * n));
+        for (int c = 0; c < 8; ++c)
           cg[c] = gid(x + kCorners[c][0], y + kCorners[c][1],
                       z + kCorners[c][2]);
-          (value(cg[c]) < iso ? any_lo : any_hi) = true;
-        }
-        if (!any_lo || !any_hi) continue;  // cell not crossed
         for (const auto& tet : kTets) {
           int64_t tg[4];
           float tv[4];

@@ -116,3 +116,21 @@ def test_hierarchical_agrees_near_surface_and_skips_far():
     # and real work was skipped
     assert stats["active_blocks"] < stats["total_blocks"]
     assert stats["fine_evals"] < res ** 3
+
+
+def test_decode_grid_adaptive_end_to_end():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_adaptive)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        marching_tetrahedra)
+    z = jnp.asarray([0.5])
+    grid = decode_grid_adaptive(_sphere_apply, z, 64)
+    assert grid.shape == (64, 64, 64)
+    v, f = marching_tetrahedra(grid)
+    r = np.linalg.norm(v, axis=1)
+    assert np.abs(r - 0.5).max() < 2.0 / 63
+    # non-divisible / small res falls back to dense
+    g2 = decode_grid_adaptive(_sphere_apply, z, 33)
+    ref = analytic.sdf({"type": "sphere", "r": 0.5},
+                       make_grid_points(33)).reshape(33, 33, 33)
+    np.testing.assert_allclose(g2, ref, atol=1e-5)
