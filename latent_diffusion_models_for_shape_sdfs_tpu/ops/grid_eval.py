@@ -439,12 +439,14 @@ def decode_grid_adaptive(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     cap1 = max(256, nb1 ** 3 // 4)
     cap2 = max(2048, res ** 2 // 4)  # ~surface-shell scale
     for _ in range(4):
+        # block layout: the x-major device assembly costs an extra ~30%
+        # in padded-transpose HBM traffic; unblocking on host is one
+        # memcpy-bound pass
         grid, stats = decode_grid_hierarchical2_device(
-            apply_fn, z, res, 16, 4, cap1, cap2, safety=1.2)
+            apply_fn, z, res, 16, 4, cap1, cap2, safety=1.2,
+            layout="block")
         if not stats["capacity_exceeded"]:
-            if stats["layout"] == "block":
-                return unblock_grid(np.asarray(grid), res, 4)
-            return np.asarray(grid)
+            return unblock_grid(np.asarray(grid), res, 4)
         if stats["active_l1"] > stats["cap1"]:
             cap1 *= 2
         if stats["active_l2"] > stats["cap2"]:
