@@ -26,6 +26,15 @@ import numpy as np
 from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
 
 
+def _sample_one_shape(args: tuple) -> tuple:
+    """Worker for from_analytic (module-level for pickling)."""
+    shape, n, seed, i = args
+    rng = np.random.default_rng((seed, i))
+    xyz, d = analytic.sample_sdf_points(shape, n, rng)
+    rows = np.concatenate([xyz, d[:, None]], axis=1)
+    return rows[d >= 0], rows[d < 0]
+
+
 @dataclasses.dataclass
 class SceneBatch:
     """One fixed-shape training batch (host arrays, ready for device put)."""
@@ -59,14 +68,26 @@ class SdfDataset:
 
     @classmethod
     def from_analytic(cls, shapes: list, samples_per_shape: int = 100_000,
-                      seed: int = 0) -> "SdfDataset":
-        pos, neg = [], []
-        for i, shape in enumerate(shapes):
-            rng = np.random.default_rng((seed, i))
-            xyz, d = analytic.sample_sdf_points(shape, samples_per_shape, rng)
-            rows = np.concatenate([xyz, d[:, None]], axis=1)
-            pos.append(rows[d >= 0])
-            neg.append(rows[d < 0])
+                      seed: int = 0, workers: int = 0) -> "SdfDataset":
+        """Generate per-shape sample sets. `workers=0` auto-parallelizes
+        over processes for larger splits (the sampling is host-NumPy-bound;
+        results are deterministic per (seed, index) regardless)."""
+        if workers == 0:
+            import os
+            workers = min(os.cpu_count() or 1, len(shapes), 16)
+        if workers > 1 and len(shapes) > 8:
+            import concurrent.futures as cf
+            with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+                results = list(ex.map(
+                    _sample_one_shape,
+                    [(shape, samples_per_shape, seed, i)
+                     for i, shape in enumerate(shapes)],
+                    chunksize=max(1, len(shapes) // (workers * 4))))
+        else:
+            results = [_sample_one_shape((shape, samples_per_shape, seed, i))
+                       for i, shape in enumerate(shapes)]
+        pos = [r[0] for r in results]
+        neg = [r[1] for r in results]
         cids = np.asarray([s.get("class_id", 0) for s in shapes], np.int32)
         return cls(pos, neg, class_ids=cids, shapes=shapes)
 
