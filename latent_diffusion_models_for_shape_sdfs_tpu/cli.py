@@ -55,11 +55,26 @@ def cmd_train_diff(args):
     print("stage-2 training complete")
 
 
+def _load_obs_rows(path: str):
+    """.npz with pos/neg [N,4] rows (native preprocess format) or a single
+    [N,4] array -> (xyz [N,3], sdf [N])."""
+    import numpy as np
+    with np.load(path) as z:
+        rows = (np.concatenate([z["pos"], z["neg"]])
+                if "pos" in z.files else z[z.files[0]])
+    rows = np.asarray(rows, np.float32)
+    return rows[:, :3], rows[:, 3]
+
+
 def cmd_sample(args):
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
         run_sample)
+    obs_xyz = obs_sdf = None
+    if args.obs:
+        obs_xyz, obs_sdf = _load_obs_rows(args.obs)
     meshes = run_sample(args.exp_dir, num=args.num, res=args.res,
-                        class_id=args.class_id, seed=args.seed)
+                        class_id=args.class_id, seed=args.seed,
+                        obs_xyz=obs_xyz, obs_sdf=obs_sdf)
     print(f"wrote {len(meshes)} meshes under "
           f"{pathlib.Path(args.exp_dir) / 'samples'}")
 
@@ -144,6 +159,9 @@ def main(argv=None):
     s.add_argument("--res", type=int, default=None)
     s.add_argument("--class-id", type=int, default=None)
     s.add_argument("--seed", type=int, default=None)
+    s.add_argument("--obs", default=None, metavar="NPZ",
+                   help="observed SDF samples (.npz, pos/neg or [N,4] rows)"
+                        " for partial-SDF-conditioned sampling (config 4)")
     s.set_defaults(fn=cmd_sample)
 
     s = sub.add_parser("reconstruct", help="latent-optimize to a mesh")

@@ -73,6 +73,9 @@ class DenoiserConfig:
     cond_drop_prob: float = 0.1      # classifier-free guidance dropout
     partial_sdf_cond: bool = False   # enable partial-SDF encoder conditioning
     partial_points: int = 512        # observed (xyz, sdf) points fed to encoder
+    obs_bank_points: int = 0         # per-scene training obs bank size; the
+                                     # scan subsamples partial_points of them
+                                     # per step (0 = auto: 4x partial_points)
 
 
 @dataclass(frozen=True)
@@ -141,9 +144,14 @@ class ReconstructConfig:
     num_steps: int = 800
     lr: float = 5e-3
     lr_decay_at: int = 400           # step at which lr is divided by 10
-    code_reg_sigma: float = 1e-2     # prior weight = 1/sigma^2 (paper MAP term)
+    # prior term = (1/sigma^2) * ||z||^2 / n_obs (paper MAP form). At the
+    # canonical n=8k/L=256 scale, sigma=10 matches the lineage's weak
+    # 1e-4*mean(z^2) regularizer; sigma <= 1e-2 crushes z toward the mean
+    # shape (measured: held-out l1 plateaus ~14x higher).
+    code_reg_sigma: float = 10.0
     clamp_dist: float = 0.1
     init_std: float = 0.01
+    num_inits: int = 1               # best-of-k random restarts (one program)
     seed: int = 0
 
 

@@ -120,9 +120,12 @@ def _cond_banks(cfg: ExperimentConfig, dataset: Optional[SdfDataset]):
         class_ids = dataset.class_ids
     if dataset is not None and dn.partial_sdf_cond:
         rng = np.random.default_rng(cfg.diff.seed)
+        # bank > partial_points: the on-device scan re-subsamples a fresh
+        # observation set per step so the encoder generalizes to new scans
+        bank = dn.obs_bank_points or 4 * dn.partial_points
         xs, ds_ = [], []
         for i in range(len(dataset)):
-            rows = dataset.sample_scene(i, dn.partial_points, rng)
+            rows = dataset.sample_scene(i, bank, rng)
             xs.append(rows[:, :3])
             ds_.append(rows[:, 3])
         obs_xyz = np.stack(xs)
@@ -183,13 +186,40 @@ def load_diff_state(exp_dir: str) -> tuple:
 # --------------------------------------------------------------- sampling
 
 
+def _obs_cond_batch(obs_xyz: np.ndarray, obs_sdf: np.ndarray,
+                    npts: int, num: int, seed: int) -> tuple:
+    """One observation set [N,3]/[N] -> fixed-size conditioning batch
+    (num, npts, 3)/(num, npts) for the PointNet partial-SDF encoder
+    (subsample without replacement when N >= npts, else with)."""
+    obs_xyz = np.asarray(obs_xyz, np.float32)
+    obs_sdf = np.asarray(obs_sdf, np.float32)
+    n = len(obs_xyz)
+    rng = np.random.default_rng(seed)
+    idx = (rng.permutation(n)[:npts] if n >= npts
+           else rng.integers(0, n, npts))
+    ox = jnp.broadcast_to(jnp.asarray(obs_xyz[idx]), (num, npts, 3))
+    od = jnp.broadcast_to(jnp.asarray(obs_sdf[idx]), (num, npts))
+    return ox, od
+
+
 def run_sample(exp_dir: str, num: Optional[int] = None,
                res: Optional[int] = None, class_id: Optional[int] = None,
                seed: Optional[int] = None, use_ema: bool = True,
-               write_meshes: bool = True) -> list:
+               write_meshes: bool = True,
+               obs_xyz: Optional[np.ndarray] = None,
+               obs_sdf: Optional[np.ndarray] = None) -> list:
     """Sample latents with DDPM/DDIM, decode to meshes under <exp>/samples.
-    Returns list of (verts, faces)."""
+    Returns list of (verts, faces).
+
+    `obs_xyz [N,3]` / `obs_sdf [N]`: observed SDF samples of a target shape
+    for partial-SDF-conditioned generation (BASELINE config 4) — requires a
+    denoiser trained with `partial_sdf_cond=True`; the one observation set
+    conditions all `num` samples."""
     cfg = ExperimentConfig.load(exp_dir)
+    if obs_xyz is not None and not cfg.diff.denoiser.partial_sdf_cond:
+        raise ValueError(
+            "observations given but the denoiser was trained without "
+            "partial_sdf_cond (set diff.denoiser.partial_sdf_cond=true)")
     lay = experiment_layout(exp_dir)
     sc = cfg.sample
     num = num or sc.num_samples
@@ -204,8 +234,13 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
                                         cfg.diff.beta_end)
     cid = (jnp.full((num,), class_id, jnp.int32)
            if class_id is not None else None)
+    cond_kwargs = {}
+    if obs_xyz is not None:
+        ox, od = _obs_cond_batch(obs_xyz, obs_sdf,
+                                 cfg.diff.denoiser.partial_points, num, seed)
+        cond_kwargs = {"obs_xyz": ox, "obs_sdf": od}
     fn = guided_denoise_fn(model.apply, params, sc.guidance_scale,
-                           class_id=cid)
+                           class_id=cid, **cond_kwargs)
     key = jax.random.PRNGKey(seed)
     L = cfg.diff.denoiser.latent_size
     if sc.sampler == "ddim":

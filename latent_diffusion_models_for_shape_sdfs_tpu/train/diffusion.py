@@ -85,7 +85,7 @@ def make_diff_scan(cfg: DiffConfig, model: CondDenoiser,
 
     def run(state, codes_n, class_ids, obs_xyz, obs_sdf, key):
         def one_step(carry, step_key):
-            k_idx, k_t, k_eps, k_drop = jax.random.split(step_key, 4)
+            k_idx, k_t, k_eps, k_drop, k_obs = jax.random.split(step_key, 5)
             idx = jax.random.randint(k_idx, (B,), 0, num_codes)
             z0 = codes_n[idx]
             t = jax.random.randint(k_t, (B,), 0, schedule.timesteps)
@@ -98,8 +98,19 @@ def make_diff_scan(cfg: DiffConfig, model: CondDenoiser,
             if c.num_classes > 0:
                 kwargs["class_id"] = class_ids[idx]
             if c.partial_sdf_cond:
-                kwargs["obs_xyz"] = obs_xyz[idx]
-                kwargs["obs_sdf"] = obs_sdf[idx]
+                ox, od = obs_xyz[idx], obs_sdf[idx]
+                bank_n = ox.shape[1]
+                if bank_n > c.partial_points:
+                    # fresh observation subset per step (on-device): the
+                    # encoder must learn set-level geometry, not memorize
+                    # one fixed point set per scene — this is what makes
+                    # conditioning generalize to unseen scans.
+                    cols = jax.random.randint(
+                        k_obs, (B, c.partial_points), 0, bank_n)
+                    ox = jnp.take_along_axis(ox, cols[..., None], axis=1)
+                    od = jnp.take_along_axis(od, cols, axis=1)
+                kwargs["obs_xyz"] = ox
+                kwargs["obs_sdf"] = od
 
             def loss_fn(params):
                 eps_hat = model.apply({"params": params}, z_t, t, **kwargs)
