@@ -34,7 +34,7 @@ def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
     cfg.scenes_per_batch must be divisible by the mesh size. Returned
     callable has the same signature as the single-chip step.
     """
-    n = mesh.devices.size
+    n = mesh.size  # works for Mesh and AbstractMesh (AOT sharding tests)
     assert cfg.scenes_per_batch % n == 0, (
         f"scenes_per_batch={cfg.scenes_per_batch} not divisible by "
         f"mesh size {n}")
@@ -52,20 +52,40 @@ def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
     )
 
 
+def make_dp_ddim_fn(denoise_fn, schedule, num: int, latent_size: int,
+                    mesh: Mesh, steps: int = 50):
+    """Jitted key -> z0 [num, L] with the sample batch sharded over the
+    mesh (factory form so AOT sharding tests can lower without devices)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
+        ddim_sample)
+    n = mesh.size
+    assert num % n == 0, f"num={num} not divisible by mesh size {n}"
+    return jax.jit(
+        partial(ddim_sample, denoise_fn, schedule, num=num,
+                latent_size=latent_size, steps=steps),
+        out_shardings=batch_sharded(mesh, 2))
+
+
 def dp_ddim_sample(denoise_fn, schedule, key, num: int, latent_size: int,
                    mesh: Mesh, steps: int = 50) -> jnp.ndarray:
     """DDIM with the sample batch sharded over the mesh — the scan body is
     elementwise per latent so no collectives appear inside the loop."""
-    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
-        ddim_sample)
-    n = mesh.devices.size
-    assert num % n == 0, f"num={num} not divisible by mesh size {n}"
-    out_sharding = batch_sharded(mesh, 2)
-    fn = jax.jit(
-        partial(ddim_sample, denoise_fn, schedule, num=num,
-                latent_size=latent_size, steps=steps),
-        out_shardings=out_sharding)
-    return fn(key)
+    return make_dp_ddim_fn(denoise_fn, schedule, num, latent_size, mesh,
+                           steps)(key)
+
+
+def make_decode_points_fn(apply_fn, mesh: Mesh):
+    """Jitted (z [L], xyz [N,3]) -> [N] with the point axis sharded over
+    the mesh (factory form for AOT sharding tests); N % mesh.size == 0 is
+    the caller's contract."""
+    pts_s = batch_sharded(mesh, 2)
+    out_s = batch_sharded(mesh, 1)
+
+    @partial(jax.jit, in_shardings=(None, pts_s), out_shardings=out_s)
+    def run(zz, pts):
+        return apply_fn(zz, pts)
+
+    return run
 
 
 def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
@@ -76,17 +96,10 @@ def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
     slabs (device_count * chunk each); every query is independent so the
     only communication is the initial shard scatter. apply_fn follows the
     grid-eval contract (z [L], xyz [N,3]) -> [N]."""
-    n = mesh.devices.size
+    n = mesh.size
     N = xyz.shape[0]
     assert N % n == 0, f"point count {N} not divisible by mesh size {n}"
-    pts_s = batch_sharded(mesh, 2)
-    out_s = batch_sharded(mesh, 1)
-
-    @partial(jax.jit, in_shardings=(None, pts_s), out_shardings=out_s)
-    def run(zz, pts):
-        return apply_fn(zz, pts)
-
-    return run(z, xyz)
+    return make_decode_points_fn(apply_fn, mesh)(z, xyz)
 
 
 def decode_grid_sharded(apply_fn, z: jnp.ndarray, res: int, mesh: Mesh,

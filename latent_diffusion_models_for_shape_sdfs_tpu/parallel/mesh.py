@@ -57,7 +57,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharded(mesh: Mesh, ndim: int = 1,
                   axis: int = 0) -> NamedSharding:
-    """Shard dim `axis` of an ndim-array over the data axis."""
+    """Shard dim `axis` of an ndim-array over ALL mesh axes.
+
+    On the flat ('data',) mesh this is plain batch-DP; on the two-level
+    ('dcn', 'data') mesh the batch splits across both levels so each slice
+    sees distinct data and gradient psums ride ICI within a slice and DCN
+    across (SURVEY.md s5.8)."""
     spec = [None] * ndim
-    spec[axis] = DATA_AXIS
+    spec[axis] = mesh.axis_names
     return NamedSharding(mesh, P(*spec))

@@ -5,8 +5,6 @@ import numpy as np
 from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
     evaluate_generated, mmd_coverage, one_nna)
-from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
-    make_mesh_2level)
 
 
 def _clouds(radii, seed=0, n=800):
@@ -41,13 +39,4 @@ def test_disjoint_sets_fully_separable():
     assert one_nna(gen, ref) == 1.0
 
 
-def test_two_level_mesh_axes():
-    import jax
-    n = len(jax.devices())
-    if n < 2:
-        mesh = make_mesh_2level(1, 1)
-        assert mesh.axis_names == ("dcn", "data")
-        assert mesh.devices.shape == (1, 1)
-    else:
-        mesh = make_mesh_2level(2, n // 2)
-        assert mesh.devices.shape == (2, n // 2)
+# (mesh-construction tests live in tests/test_mesh.py)

@@ -1,0 +1,156 @@
+"""Mesh construction + AOT sharding-spec assertions (SURVEY.md s4.5b).
+
+A single-device host can't execute 8-way programs, but it CAN lower them:
+`jax.sharding.AbstractMesh` + `.trace(...).lower(lowering_platforms)`
+produces StableHLO whose `sdy.sharding` annotations pin the production
+shardings of the DP train step, sharded DDIM, and point-sharded decode on
+abstract 8-device and 2x4 ('dcn','data') topologies — catching sharding
+regressions with zero devices."""
+
+import re
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import AbstractMesh
+
+from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+    AdConfig, DecoderConfig)
+from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
+from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
+    DATA_AXIS, batch_sharded, make_mesh, make_mesh_2level)
+from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+    make_decode_points_fn, make_dp_ad_train_step, make_dp_ddim_fn)
+
+
+# ------------------------------------------------- mesh construction
+
+
+def test_flat_mesh_axes():
+    mesh = make_mesh()
+    assert mesh.axis_names == (DATA_AXIS,)
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_flat_mesh_too_many_devices_raises():
+    with pytest.raises(ValueError, match="need"):
+        make_mesh(len(jax.devices()) + 1)
+
+
+def test_two_level_mesh_axes():
+    n = len(jax.devices())
+    if n < 2:
+        mesh = make_mesh_2level(1, 1)
+        assert mesh.axis_names == ("dcn", "data")
+        assert mesh.devices.shape == (1, 1)
+    else:
+        mesh = make_mesh_2level(2, n // 2)
+        assert mesh.devices.shape == (2, n // 2)
+
+
+# ------------------------------------------------- AOT sharding specs
+
+
+def _tiny_cfg(scenes_per_batch=8):
+    return AdConfig(
+        decoder=DecoderConfig(latent_size=16, hidden_dim=32, num_layers=4,
+                              latent_in=(2,), use_dropout=False),
+        num_scenes=scenes_per_batch, scenes_per_batch=scenes_per_batch,
+        samples_per_scene=64)
+
+
+def _lower_tpu(jitted, *args) -> str:
+    return jitted.trace(*args).lower(lowering_platforms=("tpu",)).as_text()
+
+
+def _shardings_of(txt: str) -> list:
+    """All #sdy.sharding specs annotating the main function's arguments and
+    results, as strings like '[{"data"}, {}]'."""
+    return re.findall(r'#sdy\.sharding<@mesh, (\[[^\]]*\])>', txt)
+
+
+def _has_annot(txt: str, ttype: str, spec: str) -> bool:
+    """True if a tensor of `ttype` is annotated with the sdy sharding
+    `spec` (result annotations carry jax.result_info before sdy.sharding,
+    so match any attributes in between, same line)."""
+    pat = (re.escape(f"tensor<{ttype}>") + r" \{[^\n]*?sdy\.sharding = "
+           + re.escape(f"#sdy.sharding<@mesh, {spec}>"))
+    return re.search(pat, txt) is not None
+
+
+ABSTRACT_TOPOLOGIES = [
+    pytest.param(AbstractMesh((8,), (DATA_AXIS,)), '{"data"}', id="1x8"),
+    pytest.param(AbstractMesh((2, 4), ("dcn", DATA_AXIS)), '{"dcn", "data"}',
+                 id="2x4"),
+]
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_dp_train_step_shardings(amesh, batch_axes):
+    cfg = _tiny_cfg()
+    decoder = SdfDecoder(cfg.decoder)
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+        init_ad_state)
+    # eval_shape: the whole state as ShapeDtypeStructs, zero execution
+    state = jax.eval_shape(partial(init_ad_state, cfg, decoder),
+                           jax.random.PRNGKey(0))
+    S, P = cfg.scenes_per_batch, cfg.samples_per_scene
+    ids = jax.ShapeDtypeStruct((S,), jnp.int32)
+    xyz = jax.ShapeDtypeStruct((S, P, 3), jnp.float32)
+    sdf = jax.ShapeDtypeStruct((S, P), jnp.float32)
+    epoch = jax.ShapeDtypeStruct((), jnp.float32)
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+
+    step = make_dp_ad_train_step(decoder, cfg, amesh)
+    txt = _lower_tpu(step, state, ids, xyz, sdf, epoch, key)
+
+    # batch inputs sharded over every mesh axis; state stays replicated
+    assert _has_annot(txt, f"{S}xi32", f"[{batch_axes}]"), \
+        "scene_ids not batch-sharded"
+    assert _has_annot(txt, f"{S}x{P}x3xf32", f"[{batch_axes}, {{}}, {{}}]"), \
+        "xyz not batch-sharded"
+    assert _has_annot(txt, f"{S}x{P}xf32", f"[{batch_axes}, {{}}]"), \
+        "sdf not batch-sharded"
+    # no param/table/opt tensor may be batch-sharded: every annotated spec
+    # either is one of the 3 batch inputs or carries no mesh axes
+    others = [s for s in _shardings_of(txt) if batch_axes not in s]
+    assert all(('"' not in s) for s in others), others
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_dp_ddim_out_sharding(amesh, batch_axes):
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule import (
+        DiffusionSchedule)
+    schedule = DiffusionSchedule.create(16)
+    num, L = 16, 8
+    fn = make_dp_ddim_fn(lambda z, t: 0.1 * z, schedule, num, L, amesh,
+                         steps=4)
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    txt = _lower_tpu(fn, key)
+    assert _has_annot(txt, f"{num}x{L}xf32", f"[{batch_axes}, {{}}]"), \
+        "z0 output not batch-sharded"
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_decode_points_shardings(amesh, batch_axes):
+    cfg = _tiny_cfg()
+    decoder = SdfDecoder(cfg.decoder)
+    # host-numpy params -> plain constants in the lowered module
+    params = jax.tree.map(np.asarray, decoder.init_params(
+        jax.random.PRNGKey(0)))
+
+    def apply_fn(z, xyz):
+        zz = jnp.broadcast_to(z, xyz.shape[:-1] + z.shape)
+        return decoder.apply({"params": params}, zz, xyz, train=False)
+
+    run = make_decode_points_fn(apply_fn, amesh)
+    N = 256
+    z = jax.ShapeDtypeStruct((cfg.decoder.latent_size,), jnp.float32)
+    pts = jax.ShapeDtypeStruct((N, 3), jnp.float32)
+    txt = _lower_tpu(run, z, pts)
+    assert _has_annot(txt, f"{N}x3xf32", f"[{batch_axes}, {{}}]"), \
+        "points not sharded"
+    assert _has_annot(txt, f"{N}xf32", f"[{batch_axes}]"), \
+        "values not sharded"
