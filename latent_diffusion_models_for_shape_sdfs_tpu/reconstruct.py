@@ -29,10 +29,17 @@ def reconstruct_latent(decoder: SdfDecoder, params: dict,
                        obs_xyz: jnp.ndarray, obs_sdf: jnp.ndarray,
                        cfg: ReconstructConfig = ReconstructConfig(),
                        key: Optional[jax.Array] = None) -> tuple:
-    """Optimize one latent against observations. Returns (z [L], info)."""
+    """Optimize one latent against observations. Returns (z [L], info).
+
+    cfg.num_inits > 1 runs that many random restarts concurrently (Adam on
+    [k, L] is k independent Adams — one compiled program, canonical
+    lineage practice of re-running with several seeds) and returns the
+    restart with the lowest final data term.
+    """
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     L = decoder.cfg.latent_size
-    z0 = cfg.init_std * jax.random.normal(key, (L,), jnp.float32)
+    k = max(1, cfg.num_inits)
+    z0 = cfg.init_std * jax.random.normal(key, (k, L), jnp.float32)
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     n = obs_xyz.shape[0]
     prior_w = 1.0 / (cfg.code_reg_sigma ** 2)
@@ -47,9 +54,10 @@ def reconstruct_latent(decoder: SdfDecoder, params: dict,
     @partial(jax.jit, donate_argnums=())
     def run(z0, xyz, sdf):
         def body(carry, step):
-            z, opt = carry
-            (loss, l1), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                z, xyz, sdf)
+            z, opt = carry                                  # z [k, L]
+            (loss, l1), g = jax.vmap(
+                jax.value_and_grad(loss_fn, has_aux=True),
+                in_axes=(0, None, None))(z, xyz, sdf)
             lr = jnp.where(step < cfg.lr_decay_at, cfg.lr, cfg.lr * 0.1)
             upd, opt = tx.update(g, opt)
             z = z - lr * upd
@@ -57,12 +65,14 @@ def reconstruct_latent(decoder: SdfDecoder, params: dict,
 
         (z, _), (hist, l1_hist) = jax.lax.scan(
             body, (z0, tx.init(z0)), jnp.arange(cfg.num_steps))
-        return z, hist, l1_hist
+        best = jnp.argmin(l1_hist[-1])
+        return z[best], hist[:, best], l1_hist[:, best]
 
     z, hist, l1_hist = run(z0, jnp.asarray(obs_xyz, jnp.float32),
                            jnp.asarray(obs_sdf, jnp.float32))
     info = {"loss_first": float(hist[0]), "loss_last": float(hist[-1]),
-            "l1_last": float(l1_hist[-1]), "steps": cfg.num_steps}
+            "l1_last": float(l1_hist[-1]), "steps": cfg.num_steps,
+            "num_inits": k}
     return z, info
 
 
