@@ -178,8 +178,11 @@ def _assemble_blocks(fill_b: jnp.ndarray, vals: jnp.ndarray,
     """Merge per-block fill values and fine block values into the grid.
 
     fill_b [nb^3]: per-block fill; vals [cap, block^3]: fine values for
-    blocks `ids` (masked by `valid`). Row-granularity scatter (fast on
-    TPU — element-granularity gather/scatter is ~20x slower here).
+    blocks `ids` (masked by `valid`). Implemented as an inverse-permutation
+    row GATHER (vals_pad[inv]) + select rather than a row scatter into a
+    repeat-fill: measured on v5e, `jnp.repeat` + `.at[ids].set` lowers to
+    a ~35x slower program (109ms vs 3ms at 256^3/b2=4); the gather form is
+    one fused pass over the output.
 
     layout="xmajor": [res,res,res] via a 6D transpose. XLA pads the two
     minor dims of the transpose temp to (8,128) tiles, so this costs up to
@@ -191,8 +194,12 @@ def _assemble_blocks(fill_b: jnp.ndarray, vals: jnp.ndarray,
     """
     nb = res // block
     cap = vals.shape[0]
-    grid = jnp.repeat(fill_b, block ** 3).reshape(nb ** 3, block ** 3)
-    grid = grid.at[jnp.where(valid, ids, nb ** 3)].set(vals, mode="drop")
+    inv = jnp.full((nb ** 3,), cap, jnp.int32).at[
+        jnp.where(valid, ids, nb ** 3)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    vals_pad = jnp.concatenate(
+        [vals, jnp.zeros((1, block ** 3), vals.dtype)], axis=0)
+    grid = jnp.where((inv < cap)[:, None], vals_pad[inv], fill_b[:, None])
     if layout == "block":
         return grid
     grid = grid.reshape(nb, nb, nb, block, block, block)
@@ -274,11 +281,13 @@ def decode_grid_hierarchical_device(apply_fn: ApplyFn, z: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6),
-         static_argnames=("safety", "layout", "points_per_group"))
+         static_argnames=("safety", "layout", "points_per_group",
+                          "out_dtype"))
 def _decode_grid_hier2_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
                             b1: int, b2: int, cap1: int, cap2: int,
                             safety: float = 1.5, layout: str = "xmajor",
-                            points_per_group: int = _MAX_POINTS_PER_GROUP):
+                            points_per_group: int = _MAX_POINTS_PER_GROUP,
+                            out_dtype: str = "float32"):
     """Two-level coarse->mid->fine sparse decode, single compiled program.
 
     L0 evaluates b1-block centers; the cap1 blocks nearest the surface are
@@ -344,6 +353,13 @@ def _decode_grid_hier2_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     fill2 = c1[parent.reshape(-1)]                             # [nb2^3]
     fill2 = fill2.at[jnp.where(valid1[:, None], sub_ids, nb2 ** 3)
                      .reshape(-1)].set(c2.reshape(-1), mode="drop")
+    dt = jnp.dtype(out_dtype)
+    if dt != vals.dtype:
+        # bf16 output grid: halves assembly + d2h traffic; near the iso
+        # level |sdf| <= ~4h so the relative bf16 step (2^-8) costs ~1e-4
+        # absolute on marching-cubes vertex interpolation — far below the
+        # grid-resolution error floor.
+        vals, fill2 = vals.astype(dt), fill2.astype(dt)
     grid = _assemble_blocks(fill2, vals, ids2, valid2, res, b2, layout)
     return grid, n1, n2
 
@@ -353,7 +369,8 @@ def decode_grid_hierarchical2_device(apply_fn: ApplyFn, z: jnp.ndarray,
                                      cap1: int = 3072, cap2: int = 8192,
                                      safety: float = 1.5,
                                      check_overflow: bool = True,
-                                     layout: str = "auto"):
+                                     layout: str = "auto",
+                                     out_dtype: str = "float32"):
     """Two-level on-device sparse decode (see _decode_grid_hier2_impl).
 
     ~3-6x fewer true evaluations than the single-level path at 256^3+.
@@ -367,7 +384,8 @@ def decode_grid_hierarchical2_device(apply_fn: ApplyFn, z: jnp.ndarray,
         layout = auto_layout(res, b2)
     grid, n1, n2 = _decode_grid_hier2_impl(apply_fn, z, res, b1, b2,
                                            cap1, cap2, safety=safety,
-                                           layout=layout)
+                                           layout=layout,
+                                           out_dtype=out_dtype)
     stats = {
         "layout": layout,
         "coarse_evals": (res // b1) ** 3,
