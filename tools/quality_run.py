@@ -105,12 +105,45 @@ def main():
     print(f"train-set chamfer: median={report['train_chamfer_median']:.2e}",
           flush=True)
 
+    # ---------------- 1b. hierarchical-vs-dense integrity (VERDICT r1 #7):
+    # at 256^3 on a TRAINED decoder, the production sparse decode (incl.
+    # the bf16 bench mode) must reproduce every dense-grid sign crossing —
+    # guards the headline metric against Lipschitz-violation silent loss.
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid, decode_grid_hierarchical2_device, unblock_grid)
+
+    def crossings(g):
+        s = g <= 0.0
+        return (s[1:, :, :] != s[:-1, :, :],
+                s[:, 1:, :] != s[:, :-1, :],
+                s[:, :, 1:] != s[:, :, :-1])
+
+    dense = np.asarray(decode_grid(apply_fn, state.codes[0], 256,
+                                   chunk=1_048_576))
+    integ = {}
+    for mode, od in (("f32", "float32"), ("bf16", "bfloat16")):
+        gh, sth = decode_grid_hierarchical2_device(
+            apply_fn, state.codes[0], 256, 16, 4, 1024, 16384, safety=1.2,
+            layout="block", out_dtype=od)
+        assert not sth["capacity_exceeded"], sth
+        hier = unblock_grid(np.asarray(gh, np.float32), 256, 4)
+        missed = total = 0
+        for cd, ch in zip(crossings(dense), crossings(hier)):
+            total += int(cd.sum())
+            missed += int((cd & ~ch).sum())
+        integ[mode] = {"dense_crossings": total, "missed": missed,
+                       "miss_rate": missed / max(total, 1)}
+        print(f"hier-vs-dense [{mode}]: {missed}/{total} crossings missed",
+              flush=True)
+    report["hier_integrity_256"] = integ
+
     # ---------------- 2. held-out reconstruction via latent optimization
+    # (multi-init best-of + canonical-strength prior, VERDICT r1 #4)
     rngh = np.random.default_rng(99)
     obs_xyz, obs_sdf = analytic.sample_sdf_points(held_out, 8000, rngh)
     z_rec, info = reconstruct_latent(
         decoder, state.params, jnp.asarray(obs_xyz), jnp.asarray(obs_sdf),
-        ReconstructConfig(num_steps=1200, clamp_dist=0.1))
+        ReconstructConfig(num_steps=1600, clamp_dist=0.1, num_inits=4))
     grid = decode_grid_adaptive(apply_fn, z_rec, 128)
     v, f = extract_mesh(grid)
     meshio.write_obj(OUT / "held_out_recon.obj", v, f)
@@ -156,6 +189,31 @@ def main():
     report["samples_with_geometry"] = n_ok
     print(f"samples with real geometry: {n_ok}/8", flush=True)
 
+    # ---------------- generative-set metrics (VERDICT r1 #6): MMD / COV /
+    # 1-NNA of 64 DDIM-50 samples vs 64 training chairs, 2048-pt clouds.
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        evaluate_generated)
+    zg = unnormalize_codes(
+        ddim_sample(fn, sch, jax.random.PRNGKey(17), 64, 256, steps=50),
+        mu, sigma)
+    gen_clouds, n_empty = [], 0
+    for i in range(64):
+        grid = decode_grid_adaptive(apply_fn, zg[i], 96)
+        v, f = extract_mesh(grid)
+        if len(f) < 50:
+            n_empty += 1
+            continue
+        gen_clouds.append(sample_mesh_surface(v, f, 2048, seed=100 + i))
+    ref_clouds = [analytic.sample_surface(train_shapes[i], 2048,
+                                          np.random.default_rng(200 + i))
+                  for i in range(64)]
+    gm = evaluate_generated(gen_clouds, ref_clouds)
+    gm["empty_samples"] = n_empty
+    report["generative_metrics"] = gm
+    print(f"generative (64 samples vs 64 refs): mmd={gm['mmd_chamfer']:.2e} "
+          f"cov={gm['coverage']:.2f} 1nna={gm['one_nna']:.2f} "
+          f"empty={n_empty}", flush=True)
+
     (OUT / "report.json").write_text(json.dumps(report, indent=2))
 
     md = ["# QUALITY — mini config-3 run (128 analytic chairs, 1x v5e)\n",
@@ -172,6 +230,14 @@ def main():
           f"{report['diff_loss']:.3f}",
           f"- DDIM-50 samples decoding to real geometry: {n_ok}/8 "
           f"(meshes + full stats under runs/quality_chairs/)",
+          f"- generative metrics, 64 DDIM samples vs 64 training chairs "
+          f"(2048-pt clouds): MMD-Chamfer {gm['mmd_chamfer']:.2e}, "
+          f"COV {gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f} "
+          f"({n_empty} empty)",
+          f"- hier-vs-dense 256^3 crossing integrity (trained decoder): "
+          f"f32 missed {integ['f32']['missed']}/"
+          f"{integ['f32']['dense_crossings']}, bf16 missed "
+          f"{integ['bf16']['missed']}/{integ['bf16']['dense_crossings']}",
           "",
           "Chamfer here is squared-distance (DeepSDF convention); the "
           "128^3 grid alone bounds it at ~2e-5 for a perfect surface.",
