@@ -58,8 +58,8 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
         ddim_sample)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        decode_grid, decode_grid_hierarchical2_device,
-        decode_grid_hierarchical2_batch)
+        decode_grid, decode_grid_hierarchical2_batch,
+        decode_grid_hierarchical3_device)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
         make_fast_apply)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
@@ -158,15 +158,21 @@ def main():
     # per-call host-float upload would time the relay's throttled h2d
     # channel instead of the decode (measured +7 ms/call after the heavy
     # training h2d history earlier in this script).
-    zperts = jax.block_until_ready(
-        z0[None, :] + 1e-6 * jnp.arange(8, dtype=jnp.float32)[:, None])
+    # pre-MATERIALIZED list (slicing zperts[i] inside the timed loop would
+    # add one relay dispatch per call); dense grids freed first
+    del outs
+    zperts = [jax.block_until_ready(z0 + 1e-6 * (i + 1)) for i in range(8)]
 
-    def time_hier(fn, warm_stats_key, iters=3):
+    def time_hier(fn, warm_stats_key, iters=6):
+        # two warm executions: through the relay the first couple of
+        # post-compile executions carry extra latency
         grid, stats = fn(zperts[0], check_overflow=True)
         assert not stats["capacity_exceeded"], stats
+        grid, _ = fn(zperts[1], check_overflow=False)
+        jax.block_until_ready(grid)
         t0 = time.perf_counter()
-        for i in range(1, iters + 1):
-            grid, _ = fn(zperts[i], check_overflow=False)
+        for i in range(2, iters + 2):
+            grid, _ = fn(zperts[i % 8], check_overflow=False)
         jax.block_until_ready(grid)
         return (time.perf_counter() - t0) / iters, stats
 
@@ -177,38 +183,39 @@ def main():
     # interpolation — far below the grid-resolution error; crossing
     # fidelity vs the dense f32 grid is asserted by tools/quality_run.py).
     # f32 variant recorded alongside.
-    dt_f32, _ = time_hier(lambda zz, **kw: decode_grid_hierarchical2_device(
-        apply_fast, zz, 256, 16, 4, 640, 6912, safety=1.1,
-        layout="block", **kw), "hier2_256_f32")
-    details["hier2_256_f32_seconds"] = dt_f32
-    details["hier2_256_f32_effective_voxels_per_sec"] = 256 ** 3 / dt_f32
-    dt_h, st = time_hier(lambda zz, **kw: decode_grid_hierarchical2_device(
-        apply_fast, zz, 256, 16, 4, 640, 6912, safety=1.1,
-        layout="block", out_dtype="bfloat16", **kw), "hier2_256")
+    dt_f32, _ = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
+        apply_fast, zz, 256, 16, 4, 2, 640, 6912, 28672, safety=1.1,
+        layout="block", **kw), "hier3_256_f32")
+    details["hier3_256_f32_seconds"] = dt_f32
+    details["hier3_256_f32_effective_voxels_per_sec"] = 256 ** 3 / dt_f32
+    dt_h, st = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
+        apply_fast, zz, 256, 16, 4, 2, 640, 6912, 28672, safety=1.1,
+        layout="block", out_dtype="bfloat16", **kw), "hier3_256")
     eff_256 = 256 ** 3 / dt_h
-    details["hier2_256_seconds"] = dt_h
-    details["hier2_256_stats"] = {k: int(v) if hasattr(v, "item") else v
+    details["hier3_256_seconds"] = dt_h
+    details["hier3_256_stats"] = {k: int(v) if hasattr(v, "item") else v
                                   for k, v in st.items()}
-    details["hier2_256_effective_voxels_per_sec"] = eff_256
-    log(f"hier2 256^3: {dt_h * 1e3:.1f}ms -> {eff_256:.3e} eff voxels/s "
-        f"(active {st['active_l1']}/{st['active_l2']}; "
+    details["hier3_256_effective_voxels_per_sec"] = eff_256
+    log(f"hier3 256^3: {dt_h * 1e3:.1f}ms -> {eff_256:.3e} eff voxels/s "
+        f"(active {st['active_l1']}/{st['active_l2']}/{st['active_l3']}; "
         f"f32 {dt_f32 * 1e3:.1f}ms)")
 
     # 512^3 single shape (block layout; BASELINE config 5 decode path)
-    dt_5, st5 = time_hier(lambda zz, **kw: decode_grid_hierarchical2_device(
-        apply_fast, zz, 512, 16, 4, 2048, 28672, safety=1.1,
-        layout="block", out_dtype="bfloat16", **kw), "hier2_512")
+    dt_5, st5 = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
+        apply_fast, zz, 512, 16, 4, 2, 2048, 28672, 114688, safety=1.1,
+        layout="block", out_dtype="bfloat16", **kw), "hier3_512")
     eff_512 = 512 ** 3 / dt_5
-    details["hier2_512_seconds"] = dt_5
-    details["hier2_512_effective_voxels_per_sec"] = eff_512
-    log(f"hier2 512^3: {dt_5 * 1e3:.1f}ms -> {eff_512:.3e} eff voxels/s "
-        f"(active {st5['active_l1']}/{st5['active_l2']})")
+    details["hier3_512_seconds"] = dt_5
+    details["hier3_512_effective_voxels_per_sec"] = eff_512
+    log(f"hier3 512^3: {dt_5 * 1e3:.1f}ms -> {eff_512:.3e} eff voxels/s "
+        f"(active {st5['active_l1']}/{st5['active_l2']}/"
+        f"{st5['active_l3']})")
 
     # 256^3 batched (16-shape chunk of BASELINE config 4's 64/step);
-    # perturbation bank pre-built on device, one [16, L] slab per call
-    zb_perts = jax.block_until_ready(
-        jnp.broadcast_to(z0, (16,) + z0.shape)[None]
-        + 1e-6 * jnp.arange(8, dtype=jnp.float32)[:, None, None])
+    # pre-materialized [16, L] slabs, one per call
+    zb_perts = [jax.block_until_ready(
+        jnp.broadcast_to(z0, (16,) + z0.shape) + 1e-6 * (i + 1))
+        for i in range(4)]
     gb, stb = decode_grid_hierarchical2_batch(
         apply_fast, zb_perts[0], 256, 16, 4, 768, 7168, safety=1.1,
         check_overflow=True)
@@ -228,6 +235,10 @@ def main():
 
     eff_rate = max(eff_256, eff_512, eff_b)
     details["effective_voxels_per_sec"] = eff_rate
+    # free the device-resident grids/perturbation banks before the train
+    # phase (the 16x 64MB batched grid alone would otherwise push the
+    # fp32 autodiff step over HBM)
+    del gb, zperts, zb_perts, zdense
 
     # ---------------- train steps/sec, canonical 64 x 16384
     cfg = AdConfig(decoder=DecoderConfig(), num_scenes=64,
@@ -327,7 +338,7 @@ def main():
         json.dump(details, f, indent=2)
 
     print(json.dumps({
-        "metric": "SDF decode effective voxels/sec/chip (two-level "
+        "metric": "SDF decode effective voxels/sec/chip (three-level "
                   "hierarchical near-surface decode; best of 256^3 single/"
                   "batched and 512^3 — full breakdown incl. dense-eval "
                   "rate, train steps/sec, DDIM-50 rate in "

@@ -403,6 +403,156 @@ def decode_grid_hierarchical2_device(apply_fn: ApplyFn, z: jnp.ndarray,
     return grid, stats
 
 
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8),
+         static_argnames=("safety", "layout", "points_per_group",
+                          "out_dtype"))
+def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
+                            b1: int, b2: int, b3: int,
+                            cap1: int, cap2: int, cap3: int,
+                            safety: float = 1.5, layout: str = "xmajor",
+                            points_per_group: int = _MAX_POINTS_PER_GROUP,
+                            out_dtype: str = "float32"):
+    """Three-level coarse->mid->sub->fine sparse decode, one program.
+
+    Extends the two-level scheme with a b3 (=2 voxel) selection level:
+    of a selected b2 block's (b2/b3)^3 sub-blocks, only those whose
+    sub-center is within tau3 of the surface are evaluated densely; the
+    rest keep their sub-center value. This roughly halves true fine
+    evaluations again (measured 487k -> ~265k at 256^3 on a sphere) while
+    the expensive assembly stays at TPU-friendly 64-wide b2 rows — b3-unit
+    (8-wide) rows would pay a 16x lane-padding tax on every gather.
+
+    Sign-exactness argument (same class as the 2-level path): an inactive
+    sub-block has |c3| > tau3 = safety*b3*h*sqrt(3)/2, so for a
+    <=safety-Lipschitz SDF it contains no zero and its uniform fill
+    preserves every crossing; magnitudes next to active/inactive borders
+    are approximate exactly as at the 2-level block borders.
+    """
+    r1 = b1 // b2
+    r2 = b2 // b3
+    nb1 = res // b1
+    nb2 = res // b2
+    nb3 = res // b3
+    h = 2.0 / (res - 1)
+    tau1 = safety * (b1 * h * math.sqrt(3.0) / 2.0)
+    tau2 = safety * (b2 * h * math.sqrt(3.0) / 2.0)
+    tau3 = safety * (b3 * h * math.sqrt(3.0) / 2.0)
+
+    def compact(mask, cap):
+        n = mask.shape[0]
+        npos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        pos = jnp.where(mask, npos, cap)
+        ids = jnp.zeros((cap,), jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        n_active = npos[-1] + 1
+        valid = jnp.arange(cap) < n_active
+        return ids, valid, n_active, jnp.where(mask, npos, cap)
+
+    # ---- L0: b1-block centers
+    c1 = _eval_block_centers(apply_fn, z, res, b1)               # [nb1^3]
+    idx1, valid1, n1, _ = compact(jnp.abs(c1) <= tau1, cap1)
+
+    # ---- L1: b2 sub-centers of selected parents
+    x1, y1, z1 = (idx1 // (nb1 * nb1), (idx1 // nb1) % nb1, idx1 % nb1)
+    off = jnp.arange(r1 ** 3, dtype=jnp.int32)
+    ox, oy, oz = off // (r1 * r1), (off // r1) % r1, off % r1
+    sx = x1[:, None] * r1 + ox[None, :]
+    sy = y1[:, None] * r1 + oy[None, :]
+    sz = z1[:, None] * r1 + oz[None, :]
+    sub_ids = (sx * nb2 + sy) * nb2 + sz                        # [cap1,r1^3]
+    cidx = jnp.stack([sx, sy, sz], -1).astype(jnp.float32) * b2 \
+        + (b2 - 1) / 2.0
+    c2 = apply_fn(z, (cidx * h - 1.0).reshape(cap1 * r1 ** 3, 3)
+                  ).reshape(cap1, r1 ** 3)
+    act2 = (jnp.abs(c2) <= tau2) & valid1[:, None]
+    sel2, valid2, n2, _ = compact(act2.reshape(-1), cap2)
+    ids2 = sub_ids.reshape(-1)[sel2].astype(jnp.int32)          # b2-flat
+
+    # ---- L2: b3 sub-centers of selected b2 blocks
+    x2, y2, z2 = (ids2 // (nb2 * nb2), (ids2 // nb2) % nb2, ids2 % nb2)
+    off3 = jnp.arange(r2 ** 3, dtype=jnp.int32)
+    px, py, pz = off3 // (r2 * r2), (off3 // r2) % r2, off3 % r2
+    tx = x2[:, None] * r2 + px[None, :]
+    ty = y2[:, None] * r2 + py[None, :]
+    tz = z2[:, None] * r2 + pz[None, :]
+    sub3_ids = (tx * nb3 + ty) * nb3 + tz                       # [cap2,r2^3]
+    c3idx = jnp.stack([tx, ty, tz], -1).astype(jnp.float32) * b3 \
+        + (b3 - 1) / 2.0
+    c3 = apply_fn(z, (c3idx * h - 1.0).reshape(cap2 * r2 ** 3, 3)
+                  ).reshape(cap2, r2 ** 3)
+    act3 = (jnp.abs(c3) <= tau3) & valid2[:, None]
+    sel3, valid3, n3, slot_rank = compact(act3.reshape(-1), cap3)
+    ids3 = sub3_ids.reshape(-1)[sel3].astype(jnp.int32)         # b3-flat
+
+    # ---- L3: fine voxels of selected b3 blocks
+    vals3 = _eval_blocks(apply_fn, z, ids3, res, b3,
+                         points_per_group)                      # [cap3,b3^3]
+
+    # ---- compose 64-wide b2 rows: per (b2 block, sub-slot) pick fine
+    # values (if the slot was refined) else the slot's sub-center fill.
+    # slot_rank already carries each slot's row in vals3 (cap3 = dropped).
+    inv_slot = slot_rank.reshape(cap2, r2 ** 3)
+    vals3_pad = jnp.concatenate(
+        [vals3, jnp.zeros((1, b3 ** 3), vals3.dtype)], axis=0)
+    picked = vals3_pad[jnp.minimum(inv_slot, cap3)]             # [cap2,r2^3,b3^3]
+    vals2 = jnp.where((inv_slot < cap3)[..., None], picked,
+                      c3[..., None])
+    # reorder (sub-block, within-sub) -> x-major order of the b2 block
+    vals2 = vals2.reshape(cap2, r2, r2, r2, b3, b3, b3)
+    vals2 = vals2.transpose(0, 1, 4, 2, 5, 3, 6).reshape(cap2, b2 ** 3)
+
+    # ---- b2-granularity fill cascade (c1 -> c2), then row assembly
+    bx = jnp.arange(nb2, dtype=jnp.int32) // r1
+    parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
+        + bx[None, None, :]
+    fill2 = c1[parent.reshape(-1)]
+    fill2 = fill2.at[jnp.where(valid1[:, None], sub_ids, nb2 ** 3)
+                     .reshape(-1)].set(c2.reshape(-1), mode="drop")
+    dt = jnp.dtype(out_dtype)
+    if dt != vals2.dtype:
+        vals2, fill2 = vals2.astype(dt), fill2.astype(dt)
+    grid = _assemble_blocks(fill2, vals2, ids2, valid2, res, b2, layout)
+    return grid, n1, n2, n3
+
+
+def decode_grid_hierarchical3_device(apply_fn: ApplyFn, z: jnp.ndarray,
+                                     res: int, b1: int = 16, b2: int = 4,
+                                     b3: int = 2, cap1: int = 3072,
+                                     cap2: int = 8192, cap3: int = 24576,
+                                     safety: float = 1.5,
+                                     check_overflow: bool = True,
+                                     layout: str = "auto",
+                                     out_dtype: str = "float32"):
+    """Three-level on-device sparse decode (see _decode_grid_hier3_impl)."""
+    assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    cap1 = min(cap1, (res // b1) ** 3)
+    cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
+    cap3 = min(cap3, cap2 * (b2 // b3) ** 3)
+    if layout == "auto":
+        layout = auto_layout(res, b2)
+    grid, n1, n2, n3 = _decode_grid_hier3_impl(
+        apply_fn, z, res, b1, b2, b3, cap1, cap2, cap3, safety=safety,
+        layout=layout, out_dtype=out_dtype)
+    stats = {
+        "layout": layout,
+        "coarse_evals": (res // b1) ** 3,
+        "mid_evals": cap1 * (b1 // b2) ** 3,
+        "sub_evals": cap2 * (b2 // b3) ** 3,
+        "fine_evals": cap3 * b3 ** 3,
+        "active_l1": n1, "active_l2": n2, "active_l3": n3,
+        "cap1": cap1, "cap2": cap2, "cap3": cap3,
+        "effective_voxels": res ** 3,
+    }
+    if check_overflow:
+        stats["active_l1"] = int(n1)
+        stats["active_l2"] = int(n2)
+        stats["active_l3"] = int(n3)
+        stats["capacity_exceeded"] = (stats["active_l1"] > cap1
+                                      or stats["active_l2"] > cap2
+                                      or stats["active_l3"] > cap3)
+    return grid, stats
+
+
 def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,
                                     res: int, b1: int = 16, b2: int = 4,
                                     cap1: int = 1024, cap2: int = 9216,
@@ -448,20 +598,21 @@ def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,
 
 def decode_grid_adaptive(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
                          chunk: int = 262_144) -> np.ndarray:
-    """Production single-shape decode: two-level hierarchical with
+    """Production single-shape decode: three-level hierarchical with
     capacity-escalation retries, dense fallback for small grids.
     Returns a host x-major [res,res,res] array."""
     if res < 64 or res % 16 != 0:
         return np.asarray(decode_grid(apply_fn, z, res, chunk=chunk))
     nb1 = res // 16
     cap1 = max(256, nb1 ** 3 // 4)
-    cap2 = max(2048, res ** 2 // 4)  # ~surface-shell scale
+    cap2 = max(2048, res ** 2 // 4)   # ~surface-shell scale at b2=4
+    cap3 = max(8192, res ** 2)        # ~surface-shell scale at b3=2
     for _ in range(4):
         # block layout: the x-major device assembly costs an extra ~30%
         # in padded-transpose HBM traffic; unblocking on host is one
         # memcpy-bound pass
-        grid, stats = decode_grid_hierarchical2_device(
-            apply_fn, z, res, 16, 4, cap1, cap2, safety=1.2,
+        grid, stats = decode_grid_hierarchical3_device(
+            apply_fn, z, res, 16, 4, 2, cap1, cap2, cap3, safety=1.2,
             layout="block")
         if not stats["capacity_exceeded"]:
             return unblock_grid(np.asarray(grid), res, 4)
@@ -469,6 +620,8 @@ def decode_grid_adaptive(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
             cap1 *= 2
         if stats["active_l2"] > stats["cap2"]:
             cap2 *= 2
+        if stats["active_l3"] > stats["cap3"]:
+            cap3 *= 2
     # degenerate/huge-surface shape: dense is always correct
     return np.asarray(decode_grid(apply_fn, z, res, chunk=chunk))
 

@@ -134,3 +134,57 @@ def test_decode_grid_adaptive_end_to_end():
     ref = analytic.sdf({"type": "sphere", "r": 0.5},
                        make_grid_points(33)).reshape(33, 33, 33)
     np.testing.assert_allclose(g2, ref, atol=1e-5)
+
+
+def test_hier3_device_matches_dense_at_crossings():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_device, unblock_grid)
+    res = 64
+    z = jnp.asarray([0.45])
+    dense = np.asarray(decode_grid(_sphere_apply, z, res, chunk=8192))
+    gx, st = decode_grid_hierarchical3_device(
+        _sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        layout="xmajor")
+    assert not st["capacity_exceeded"], st
+    # block layout agrees with x-major
+    gb, _ = decode_grid_hierarchical3_device(
+        _sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        layout="block")
+    np.testing.assert_array_equal(unblock_grid(np.asarray(gb), res, 4),
+                                  np.asarray(gx))
+    # every voxel adjacent to a sign change carries the exact fine value
+    sign = dense < 0
+    crossing = np.zeros_like(sign)
+    for ax in range(3):
+        d = np.diff(sign, axis=ax)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(0, -1)
+        crossing[tuple(sl)] |= d.astype(bool)
+        sl[ax] = slice(1, None)
+        crossing[tuple(sl)] |= d.astype(bool)
+    np.testing.assert_allclose(np.asarray(gx)[crossing], dense[crossing],
+                               atol=1e-5)
+    # far cells keep correct signs; real work was skipped at every level
+    far = np.abs(dense) > 0.1
+    assert np.all(np.sign(np.asarray(gx)[far]) == np.sign(dense[far]))
+    # fine evals actually spent are far below densely evaluating every
+    # selected b2 block (the 2-level path's cost)
+    assert st["active_l3"] * 8 < st["cap2"] * 64
+
+
+def test_hier3_bf16_preserves_crossings():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_device, unblock_grid)
+    res = 64
+    z = jnp.asarray([0.45])
+    dense = np.asarray(decode_grid(_sphere_apply, z, res, chunk=8192))
+    gb, st = decode_grid_hierarchical3_device(
+        _sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        layout="block", out_dtype="bfloat16")
+    assert not st["capacity_exceeded"], st
+    hier = unblock_grid(np.asarray(gb, np.float32), res, 4)
+    sd, sh = dense <= 0, hier <= 0
+    for ax in range(3):
+        d = np.diff(sd, axis=ax)
+        h = np.diff(sh, axis=ax)
+        assert not (d & ~h).any(), f"axis {ax}: bf16 grid lost crossings"

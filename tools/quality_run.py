@@ -110,7 +110,7 @@ def main():
     # the bf16 bench mode) must reproduce every dense-grid sign crossing —
     # guards the headline metric against Lipschitz-violation silent loss.
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        decode_grid, decode_grid_hierarchical2_device, unblock_grid)
+        decode_grid, decode_grid_hierarchical3_device, unblock_grid)
 
     def crossings(g):
         s = g <= 0.0
@@ -122,9 +122,9 @@ def main():
                                    chunk=1_048_576))
     integ = {}
     for mode, od in (("f32", "float32"), ("bf16", "bfloat16")):
-        gh, sth = decode_grid_hierarchical2_device(
-            apply_fn, state.codes[0], 256, 16, 4, 1024, 16384, safety=1.2,
-            layout="block", out_dtype=od)
+        gh, sth = decode_grid_hierarchical3_device(
+            apply_fn, state.codes[0], 256, 16, 4, 2, 1024, 16384, 65536,
+            safety=1.2, layout="block", out_dtype=od)
         assert not sth["capacity_exceeded"], sth
         hier = unblock_grid(np.asarray(gh, np.float32), 256, 4)
         missed = total = 0
