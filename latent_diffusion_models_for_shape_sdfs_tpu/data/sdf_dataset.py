@@ -53,13 +53,18 @@ class SdfDataset:
 
     def __init__(self, pos: Sequence[np.ndarray], neg: Sequence[np.ndarray],
                  class_ids: Optional[np.ndarray] = None,
-                 shapes: Optional[list] = None):
+                 shapes: Optional[list] = None,
+                 transforms: Optional[list] = None):
         assert len(pos) == len(neg)
         self.pos = [np.asarray(p, np.float32).reshape(-1, 4) for p in pos]
         self.neg = [np.asarray(n, np.float32).reshape(-1, 4) for n in neg]
         self.class_ids = (np.zeros(len(pos), np.int32) if class_ids is None
                           else np.asarray(class_ids, np.int32))
         self.shapes = shapes  # analytic parameter trees, when available
+        # per-scene (center [3], scale) of the preprocessor's unit-sphere
+        # normalization x' = (x - center) * scale; None for analytic scenes.
+        # Map decoded geometry back with x = x' / scale + center.
+        self.transforms = transforms
 
     def __len__(self) -> int:
         return len(self.pos)
@@ -98,12 +103,17 @@ class SdfDataset:
         files = sorted(pathlib.Path(path).glob("*.npz"))
         if not files:
             raise FileNotFoundError(f"no .npz sample files under {path}")
-        pos, neg = [], []
+        pos, neg, transforms = [], [], []
         for f in files:
             with np.load(f) as z:
                 pos.append(z["pos"])
                 neg.append(z["neg"])
-        return cls(pos, neg)
+                if "center" in z.files and "scale" in z.files:
+                    transforms.append((np.asarray(z["center"], np.float32),
+                                       float(z["scale"][0])))
+                else:  # older sample sets without stored normalization
+                    transforms.append(None)
+        return cls(pos, neg, transforms=transforms)
 
     # ------------------------------------------------------------ sampling
 

@@ -24,7 +24,10 @@
 
 namespace {
 
-void normalize_unit_sphere(Mesh* m, float padding = 1.03f) {
+// Normalizes in place; reports the applied transform (x' = (x-center)*scale)
+// so consumers can map decoded geometry back to source coordinates.
+void normalize_unit_sphere(Mesh* m, Vec3* out_center, float* out_scale,
+                           float padding = 1.03f) {
   Vec3 lo{FLT_MAX, FLT_MAX, FLT_MAX}, hi{-FLT_MAX, -FLT_MAX, -FLT_MAX};
   for (const Vec3& v : m->verts) {
     lo = vmin(lo, v);
@@ -35,6 +38,8 @@ void normalize_unit_sphere(Mesh* m, float padding = 1.03f) {
   for (const Vec3& v : m->verts) r = std::fmax(r, norm(v - center));
   float s = 1.0f / (r * padding);
   for (Vec3& v : m->verts) v = (v - center) * s;
+  *out_center = center;
+  *out_scale = s;
 }
 
 std::vector<Vec3> sample_surface(const Mesh& m, size_t n, std::mt19937* rng) {
@@ -84,7 +89,9 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "empty mesh: %s\n", mesh_path.c_str());
     return 1;
   }
-  normalize_unit_sphere(&mesh);
+  Vec3 norm_center;
+  float norm_scale;
+  normalize_unit_sphere(&mesh, &norm_center, &norm_scale);
 
   std::vector<Tri> tris;
   tris.reserve(mesh.faces.size());
@@ -139,9 +146,13 @@ int main(int argc, char** argv) {
     dst.push_back(queries[i].z);
     dst.push_back(sdf[i]);
   }
+  const float center_arr[3] = {norm_center.x, norm_center.y, norm_center.z};
+  const float scale_arr[1] = {norm_scale};
   npy::save_npz_f32(out_path, {
       {"pos", {pos.data(), {pos.size() / 4, 4}}},
       {"neg", {neg.data(), {neg.size() / 4, 4}}},
+      {"center", {center_arr, {3}}},
+      {"scale", {scale_arr, {1}}},
   });
   std::printf("%s: %zu samples (%zu pos, %zu neg) -> %s\n",
               mesh_path.c_str(), queries.size(), pos.size() / 4,

@@ -28,8 +28,13 @@ def test_obj_to_trained_mesh_chain(tmp_path):
     files = list(sdf_dir.glob("*.npz"))
     assert len(files) == 1
     with np.load(files[0]) as z:
-        assert {"pos", "neg"} <= set(z.files)
+        assert {"pos", "neg", "center", "scale"} <= set(z.files)
         assert len(z["pos"]) + len(z["neg"]) >= 50_000
+        center = np.asarray(z["center"], np.float32)
+        scale = float(z["scale"][0])
+    # icosphere r=0.5 at origin -> center ~0, scale = 1/(0.5*1.03)
+    assert np.abs(center).max() < 1e-3
+    assert abs(scale - 1.0 / (0.5 * 1.03)) < 1e-3
 
     # 3. train stage 1 from the sdf: source via the CLI
     exp = tmp_path / "exp"
@@ -66,8 +71,11 @@ def test_obj_to_trained_mesh_chain(tmp_path):
     grid = np.asarray(decode_grid(apply_fn, state.codes[0], 48, chunk=16384))
     pv, pf = extract_mesh(grid)
     assert len(pf) > 100, "trained shape decodes to (almost) nothing"
-    pred = sample_mesh_surface(pv, pf, 10_000, seed=0)
+    # decoded geometry lives in the preprocessor's normalized frame;
+    # map back to source coordinates via the stored transform
+    pv_src = pv / scale + center
+    pred = sample_mesh_surface(pv_src, pf, 10_000, seed=0)
     gt = sample_mesh_surface(v, f, 10_000, seed=1)
     ch = chamfer_l2(pred, gt)
-    # squared-distance chamfer; grid h ~= 0.043 at res 48
+    # squared-distance chamfer; normalized-frame grid h ~= 0.043 at res 48
     assert ch < 2e-3, f"chain chamfer too high: {ch}"
