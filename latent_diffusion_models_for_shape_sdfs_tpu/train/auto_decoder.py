@@ -132,20 +132,31 @@ def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
     return step
 
 
-def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
+def train_auto_decoder(cfg: AdConfig, dataset: Optional[SdfDataset],
                        logger: Optional[MetricLogger] = None,
                        decoder: Optional[SdfDecoder] = None,
                        state: Optional[AdTrainState] = None,
                        start_epoch: int = 0,
                        checkpoint_fn: Optional[Callable] = None,
+                       bank=None,
                        ) -> tuple:
     """Full stage-1 loop. Returns (decoder, final AdTrainState, metrics).
 
     `checkpoint_fn(epoch, state)` is invoked every `cfg.snapshot_every`
     epochs (utils/checkpoint.py provides the orbax-backed one).
+
+    `bank`: an already-built DeviceSampleBank (e.g. generated on device
+    by data/analytic_jax.py); requires cfg.device_data and makes
+    `dataset` optional — the host then never materializes sample arrays.
     """
-    assert len(dataset) == cfg.num_scenes, (
-        f"dataset has {len(dataset)} scenes, config says {cfg.num_scenes}")
+    if dataset is not None:
+        assert len(dataset) == cfg.num_scenes, (
+            f"dataset has {len(dataset)} scenes, config says "
+            f"{cfg.num_scenes}")
+    else:
+        assert bank is not None and cfg.device_data, (
+            "dataset=None requires a prebuilt bank and cfg.device_data")
+        assert int(bank.pos.shape[0]) == cfg.num_scenes
     decoder = decoder or SdfDecoder(cfg.decoder)
     key = jax.random.PRNGKey(cfg.seed)
     if state is None:
@@ -158,14 +169,16 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
     else:
         step_fn = make_ad_train_step(decoder, cfg)
 
-    bank = None
+    if not cfg.device_data:
+        bank = None
     if cfg.device_data:
         # One-time upload of the whole sample store; the balanced draw
         # happens on device inside the jitted step and the host sends only
         # 64 scene ids per step (data/device_bank.py).
-        from latent_diffusion_models_for_shape_sdfs_tpu.data.device_bank \
-            import DeviceSampleBank
-        bank = DeviceSampleBank.from_dataset(dataset)
+        if bank is None:
+            from latent_diffusion_models_for_shape_sdfs_tpu.data.\
+                device_bank import DeviceSampleBank
+            bank = DeviceSampleBank.from_dataset(dataset)
         raw_step = make_ad_train_step(decoder, cfg, jit=False)
         P = cfg.samples_per_scene
 
@@ -189,7 +202,7 @@ def train_auto_decoder(cfg: AdConfig, dataset: SdfDataset,
             for epoch in epochs:
                 if bank is not None:
                     # device-data mode: the host only schedules scene ids
-                    n = len(dataset)
+                    n = cfg.num_scenes
                     order = rng.permutation(n)
                     spb = cfg.scenes_per_batch
                     for start in range(0, n, spb):
