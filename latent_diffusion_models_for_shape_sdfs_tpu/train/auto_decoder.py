@@ -182,10 +182,14 @@ def train_auto_decoder(cfg: AdConfig, dataset: Optional[SdfDataset],
         raw_step = make_ad_train_step(decoder, cfg, jit=False)
         P = cfg.samples_per_scene
 
+        # NB: the bank rides as a jit ARGUMENT, not a closure constant — a
+        # config-3-scale store (3+ GiB) captured as a constant gets
+        # embedded in the lowered program (XLA may hold a second copy and
+        # lowering warns at 3.22 GiB measured).
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def bank_step(state, scene_ids, epoch, key):
+        def bank_step(state, bank_, scene_ids, epoch, key):
             k_data, k_step = jax.random.split(key)
-            xyz, sdf = bank.sample_batch(k_data, scene_ids, P)
+            xyz, sdf = bank_.sample_batch(k_data, scene_ids, P)
             return raw_step(state, scene_ids, xyz, sdf, epoch, k_step)
 
     logger = logger or MetricLogger()
@@ -259,7 +263,7 @@ def train_auto_decoder(cfg: AdConfig, dataset: Optional[SdfDataset],
             on_epoch_end(cur_epoch)
         key, k_drop = jax.random.split(key)
         if bank is not None:
-            state, metrics = bank_step(state, jnp.asarray(batch),
+            state, metrics = bank_step(state, bank, jnp.asarray(batch),
                                        jnp.asarray(epoch, jnp.float32),
                                        k_drop)
         else:

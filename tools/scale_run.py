@@ -102,6 +102,15 @@ def main():
           f"({report['ad_steps_per_sec']:.1f} steps/s)", flush=True)
     del bank
 
+    # persist stage-1 result so later rounds can reuse the 6k decoder
+    # without re-burning ~25 min of TPU time (restored via
+    # StageCheckpointer(OUT, "ad").restore(template)).
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        StageCheckpointer)
+    ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
+    ck.save(EPOCHS, {"params": state.params, "codes": state.codes})
+    ck.close()
+
     apply_fn = make_pallas_apply(decoder, state.params)
 
     # ---------------- train-set fidelity (16 chairs spread over the split)
@@ -150,6 +159,10 @@ def main():
     report["diff_seconds"] = time.time() - t0
     print(f"stage2: loss={dloss:.3f} in {report['diff_seconds']:.0f}s",
           flush=True)
+    ck = StageCheckpointer(OUT, "diff", max_to_keep=1)
+    ck.save(DIFF_STEPS, {"params": dstate.params, "ema": dstate.ema_params,
+                         "mu": mu, "sigma": sigma})
+    ck.close()
 
     # ---------------- generative metrics (64 DDIM-50 samples vs 64 refs)
     sch = DiffusionSchedule.create(dcfg.timesteps)
