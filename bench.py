@@ -233,6 +233,30 @@ def main():
     log(f"hier2 batch16 256^3: {dt_b * 1e3:.1f}ms -> {eff_b:.3e} eff "
         f"voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
 
+    # ---------------- end-to-end mesh serving: latents -> sparse payload
+    # d2h -> host reconstruct -> native C++ marching cubes. The sparse
+    # payload (near-surface blocks only) is what makes this viable over a
+    # throttled host link: ~2.6 MB/shape at 256^3 instead of the 33 MB
+    # bf16 full grid.
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        serve_meshes)
+    zsrv = [jax.block_until_ready(z0 + 1e-6 * (i + 1)) for i in range(9)]
+    next(iter(serve_meshes(apply_fast, zsrv[:1], res=256)))  # compile+warm
+    t0 = time.perf_counter()
+    nmesh = pay = nv = 0
+    for v, fcs, stt in serve_meshes(apply_fast, zsrv[1:], res=256):
+        nmesh += 1
+        nv += len(v)
+        pay += stt["payload_bytes"]
+    dt_e2e = (time.perf_counter() - t0) / nmesh
+    details["serve_256_meshes_per_sec"] = 1.0 / dt_e2e
+    details["serve_256_payload_bytes_per_shape"] = pay // nmesh
+    details["serve_256_verts_per_mesh"] = nv // nmesh
+    log(f"serve e2e 256^3: {dt_e2e * 1e3:.0f} ms/mesh -> "
+        f"{1 / dt_e2e:.2f} meshes/s ({pay // nmesh / 2 ** 20:.1f} "
+        f"MiB payload, {nv // nmesh} verts)")
+    del zsrv
+
     eff_rate = max(eff_256, eff_512, eff_b)
     details["effective_voxels_per_sec"] = eff_rate
     # free the device-resident grids/perturbation banks before the train

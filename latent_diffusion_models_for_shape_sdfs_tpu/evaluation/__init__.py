@@ -1,5 +1,5 @@
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.chamfer import (  # noqa: F401
-    chamfer_l2,
+    chamfer_l2, chamfer_l2_directed,
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.mesh_sample import (  # noqa: F401
     sample_mesh_surface,

@@ -404,12 +404,13 @@ def decode_grid_hierarchical2_device(apply_fn: ApplyFn, z: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8),
-         static_argnames=("safety", "layout", "points_per_group",
-                          "out_dtype"))
+         static_argnames=("safety", "safety3", "layout",
+                          "points_per_group", "out_dtype"))
 def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
                             b1: int, b2: int, b3: int,
                             cap1: int, cap2: int, cap3: int,
-                            safety: float = 1.5, layout: str = "xmajor",
+                            safety: float = 1.5, safety3: float = 0.0,
+                            layout: str = "xmajor",
                             points_per_group: int = _MAX_POINTS_PER_GROUP,
                             out_dtype: str = "float32"):
     """Three-level coarse->mid->sub->fine sparse decode, one program.
@@ -436,7 +437,19 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     h = 2.0 / (res - 1)
     tau1 = safety * (b1 * h * math.sqrt(3.0) / 2.0)
     tau2 = safety * (b2 * h * math.sqrt(3.0) / 2.0)
-    tau3 = safety * (b3 * h * math.sqrt(3.0) / 2.0)
+    # safety3 (0 = inherit safety) widens only the finest selection
+    # margin; widening is compute-free while n3 <= cap3 (the fine eval
+    # runs over the static cap3 rows regardless). Measured on a trained
+    # 6k-chair decoder at 256^3, it buys nothing: the ~3%-of-crossings
+    # sign disagreement vs the dense f32 decode is IDENTICAL from
+    # safety3=1.2 to 6.0 (= refine every sub-block) because it is not
+    # selection loss at all — the b3-row evaluation compiles to a
+    # slightly different rounding than the b2-row/dense one (|delta| <=
+    # 2.6e-4 ~ one bf16 step at SDF scale; hier2 fine values are
+    # bitwise equal to dense), flipping signs of voxels that sit within
+    # ~1e-5..3e-4 of the iso level. Mesh impact is below the 100k-point
+    # surface-sampling floor (tools/quality_run.py quantifies both).
+    tau3 = (safety3 or safety) * (b3 * h * math.sqrt(3.0) / 2.0)
 
     def compact(mask, cap):
         n = mask.shape[0]
@@ -511,6 +524,15 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     dt = jnp.dtype(out_dtype)
     if dt != vals2.dtype:
         vals2, fill2 = vals2.astype(dt), fill2.astype(dt)
+    if layout == "sparse":
+        # Serving-path output: skip assembly and hand back the compact
+        # representation — fill2 [nb2^3] (b2-granularity coarse cascade),
+        # vals2 [cap2, b2^3] fine rows for blocks ids2 (first n2 rows
+        # valid). At 256^3 with cap2=16k/bf16 this is ~2.6 MB to the host
+        # instead of the 33 MB full grid — the d2h link (relay-throttled
+        # here, PCIe in general) is the end-to-end mesh-serving
+        # bottleneck, not compute. Reconstruct with sparse_to_grid.
+        return (fill2, vals2, ids2), n1, n2, n3
     grid = _assemble_blocks(fill2, vals2, ids2, valid2, res, b2, layout)
     return grid, n1, n2, n3
 
@@ -520,6 +542,7 @@ def decode_grid_hierarchical3_device(apply_fn: ApplyFn, z: jnp.ndarray,
                                      b3: int = 2, cap1: int = 3072,
                                      cap2: int = 8192, cap3: int = 24576,
                                      safety: float = 1.5,
+                                     safety3: float = 0.0,
                                      check_overflow: bool = True,
                                      layout: str = "auto",
                                      out_dtype: str = "float32"):
@@ -532,7 +555,7 @@ def decode_grid_hierarchical3_device(apply_fn: ApplyFn, z: jnp.ndarray,
         layout = auto_layout(res, b2)
     grid, n1, n2, n3 = _decode_grid_hier3_impl(
         apply_fn, z, res, b1, b2, b3, cap1, cap2, cap3, safety=safety,
-        layout=layout, out_dtype=out_dtype)
+        safety3=safety3, layout=layout, out_dtype=out_dtype)
     stats = {
         "layout": layout,
         "coarse_evals": (res // b1) ** 3,
@@ -551,6 +574,65 @@ def decode_grid_hierarchical3_device(apply_fn: ApplyFn, z: jnp.ndarray,
                                       or stats["active_l2"] > cap2
                                       or stats["active_l3"] > cap3)
     return grid, stats
+
+
+def decode_grid_hierarchical3_sparse(apply_fn: ApplyFn, z: jnp.ndarray,
+                                     res: int, b1: int = 16, b2: int = 4,
+                                     b3: int = 2, cap1: int = 3072,
+                                     cap2: int = 8192, cap3: int = 24576,
+                                     safety: float = 1.5,
+                                     safety3: float = 0.0,
+                                     check_overflow: bool = True,
+                                     out_dtype: str = "bfloat16"):
+    """Three-level sparse decode returning the COMPACT representation.
+
+    Same program as decode_grid_hierarchical3_device minus the on-device
+    assembly: returns ((fill2 [nb2^3], vals2 [cap2, b2^3], ids2 [cap2]),
+    stats). Only the first stats['active_l2'] rows of vals2/ids2 are
+    meaningful. Intended for the mesh-serving path where the host (or a
+    downstream consumer) only needs near-surface blocks: the d2h payload
+    shrinks by ~res^3 / (cap2*b2^3 + nb2^3), ~12x at 256^3 with the
+    bench capacities. Reconstruct a full x-major grid with
+    sparse_to_grid(...) — bit-identical to the layout="block" full path.
+    """
+    assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    cap1 = min(cap1, (res // b1) ** 3)
+    cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
+    cap3 = min(cap3, cap2 * (b2 // b3) ** 3)
+    (fill2, vals2, ids2), n1, n2, n3 = _decode_grid_hier3_impl(
+        apply_fn, z, res, b1, b2, b3, cap1, cap2, cap3, safety=safety,
+        safety3=safety3, layout="sparse", out_dtype=out_dtype)
+    stats = {"layout": "sparse", "cap1": cap1, "cap2": cap2, "cap3": cap3,
+             "active_l1": n1, "active_l2": n2, "active_l3": n3,
+             "payload_bytes": int(fill2.nbytes + vals2.nbytes
+                                  + ids2.nbytes),
+             "effective_voxels": res ** 3}
+    if check_overflow:
+        stats["active_l1"] = int(n1)
+        stats["active_l2"] = int(n2)
+        stats["active_l3"] = int(n3)
+        stats["capacity_exceeded"] = (stats["active_l1"] > cap1
+                                      or stats["active_l2"] > cap2
+                                      or stats["active_l3"] > cap3)
+    return (fill2, vals2, ids2), stats
+
+
+def sparse_to_grid(fill2: np.ndarray, vals2: np.ndarray, ids2: np.ndarray,
+                   n_active: int, res: int, b2: int,
+                   dtype=np.float32) -> np.ndarray:
+    """Host-side reconstruction of the sparse decode into an x-major grid.
+
+    Exactly _assemble_blocks(layout="block") + unblock_grid, in NumPy:
+    every block starts from its fill value; the n_active fine rows are
+    scattered over their block ids; later duplicate ids (impossible from
+    the device path, but cheap to allow) win.
+    """
+    nb = res // b2
+    block_grid = np.broadcast_to(
+        np.asarray(fill2, dtype)[:, None], (nb ** 3, b2 ** 3)).copy()
+    ids = np.asarray(ids2[:n_active])
+    block_grid[ids] = np.asarray(vals2[:n_active], dtype)
+    return unblock_grid(block_grid, res, b2)
 
 
 def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,

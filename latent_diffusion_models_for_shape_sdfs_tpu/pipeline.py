@@ -251,6 +251,22 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
 
     apply_fn = make_fast_apply(decoder, ad_state.params)
     meshes = []
+    if sc.hierarchical and res >= 64 and res % 16 == 0:
+        # production serving path: all decodes enqueued up front, only
+        # near-surface blocks cross to the host (serve.serve_meshes).
+        # The bf16 sparse payload reconstructs the same hierarchy as
+        # decode_grid_adaptive (same safety/caps/escalation); bf16-vs-f32
+        # crossing fidelity is quantified in QUALITY.md (identical
+        # missed-crossing sets at 256^3 on a trained decoder).
+        from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+            serve_meshes)
+        for i, (v, f, _st) in enumerate(serve_meshes(
+                apply_fn, list(zs), res=res, iso=sc.iso_level)):
+            meshes.append((v, f))
+            if write_meshes:
+                meshio.write_obj(lay["samples"] / f"sample_{i:03d}.obj",
+                                 v, f)
+        return meshes
     for i in range(num):
         if sc.hierarchical:
             grid = decode_grid_adaptive(apply_fn, zs[i], res,

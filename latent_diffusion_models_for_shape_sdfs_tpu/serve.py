@@ -1,0 +1,106 @@
+"""End-to-end mesh-generation serving path.
+
+Latents (e.g. from the on-device DDIM sampler) -> three-level sparse
+hierarchical decode -> COMPACT near-surface payload to host (~12x less
+d2h than a full 256^3 grid; the host link, not TPU compute, bounds
+end-to-end mesh serving) -> host grid reconstruction -> marching cubes
+(native C++ fast path when built).
+
+Pipelining comes from JAX async dispatch: all device decodes are
+enqueued up front, so the device is decoding shape i+1 while the host
+reconstructs and meshes shape i.
+
+SURVEY.md section 3.4 is the underlying call stack; this module is the
+production packaging of it (one call from latents to meshes).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+    decode_grid_hierarchical3_sparse, sparse_to_grid)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+    extract_mesh)
+
+
+def _default_caps(res: int) -> tuple:
+    # surface-shell-scale starting capacities (decode_grid_adaptive's)
+    nb1 = res // 16
+    return (max(256, nb1 ** 3 // 4), max(2048, res ** 2 // 4),
+            max(8192, res ** 2))
+
+
+def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
+                 safety: float = 1.2, iso: float = 0.0,
+                 caps: Optional[tuple] = None,
+                 max_escalations: int = 4) -> Iterator[tuple]:
+    """Yield (verts, faces, stats) for each latent in `latents`.
+
+    `apply_fn`: ops.grid_eval ApplyFn ((z, xyz[N,3]) -> sdf[N]), e.g.
+    ops.pallas_kernels.make_pallas_apply(decoder, params).
+
+    Every decode ships only near-surface blocks + the coarse fill
+    cascade; a shape whose surface shell overflows the capacities is
+    re-decoded synchronously with doubled caps (same escalation policy
+    as ops.grid_eval.decode_grid_adaptive).
+    """
+    import jax.numpy as jnp
+
+    cap1, cap2, cap3 = caps or _default_caps(res)
+    # enqueue every decode before consuming any payload (async dispatch)
+    pending = [decode_grid_hierarchical3_sparse(
+        apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
+        safety=safety, check_overflow=False) for z in latents]
+
+    for z, ((fill2, vals2, ids2), stats) in zip(latents, pending):
+        c1, c2, c3 = cap1, cap2, cap3
+        n1 = int(stats["active_l1"])
+        n2 = int(stats["active_l2"])
+        n3 = int(stats["active_l3"])
+        esc = 0
+        while (n1 > c1 or n2 > c2 or n3 > c3) and esc < max_escalations:
+            if n1 > c1:
+                c1 *= 2
+            if n2 > c2:
+                c2 *= 2
+            if n3 > c3:
+                c3 *= 2
+            (fill2, vals2, ids2), st = decode_grid_hierarchical3_sparse(
+                apply_fn, jnp.asarray(z), res, 16, 4, 2, c1, c2, c3,
+                safety=safety, check_overflow=True)
+            n1, n2, n3 = st["active_l1"], st["active_l2"], st["active_l3"]
+            esc += 1
+        grid = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
+                              np.asarray(ids2), min(n2, c2), res, 4)
+        verts, faces = extract_mesh(grid, iso=iso)
+        yield verts, faces, {
+            "active_l1": n1, "active_l2": n2, "active_l3": n3,
+            "escalations": esc,
+            "payload_bytes": int(np.asarray(fill2).nbytes
+                                 + np.asarray(vals2).nbytes
+                                 + np.asarray(ids2).nbytes)}
+
+
+def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,
+                    latent_size: int, mu=None, sigma=None,
+                    steps: int = 50, res: int = 256,
+                    **serve_kw) -> Iterator[tuple]:
+    """Full generation service: DDIM-50 sample n latents on device, then
+    stream meshes via serve_meshes. mu/sigma are the stage-2 code
+    normalization moments (train.diffusion); None skips un-normalization.
+    Conditioning/CFG is the caller's concern: pass an already-wrapped
+    denoise_fn (diffusion.sampler.guided_denoise_fn).
+    """
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler \
+        import ddim_sample
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion \
+        import unnormalize_codes
+
+    zs = ddim_sample(denoise_fn, schedule, key, n, latent_size,
+                     steps=steps)
+    if mu is not None:
+        zs = unnormalize_codes(zs, mu, sigma)
+    return serve_meshes(apply_fn, list(zs), res=res, **serve_kw)

@@ -1,0 +1,69 @@
+"""Serving path: sparse hierarchical decode payload + end-to-end mesh
+generation (latent_diffusion_models_for_shape_sdfs_tpu/serve.py).
+
+The sparse payload must reconstruct BIT-IDENTICALLY to the full
+on-device-assembled hierarchical grid (same program minus assembly), and
+serve_meshes must produce correct geometry including under capacity
+escalation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+    decode_grid_hierarchical3_device, decode_grid_hierarchical3_sparse,
+    sparse_to_grid, unblock_grid)
+from latent_diffusion_models_for_shape_sdfs_tpu.serve import serve_meshes
+
+
+def sphere_apply(z, xyz):
+    """Analytic ApplyFn: latent sets the radius (z[0] in [0,1] -> r)."""
+    r = 0.35 + 0.1 * z[0]
+    return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1)) - r
+
+
+@pytest.mark.parametrize("res", [64, 128])
+def test_sparse_payload_reconstructs_exactly(res):
+    z = jnp.asarray([0.5, 0.0])
+    full, st_full = decode_grid_hierarchical3_device(
+        sphere_apply, z, res, 16, 4, 2, 512, 4096, 16384, safety=1.2,
+        layout="block", out_dtype="float32")
+    assert not st_full["capacity_exceeded"]
+    (fill2, vals2, ids2), st = decode_grid_hierarchical3_sparse(
+        sphere_apply, z, res, 16, 4, 2, 512, 4096, 16384, safety=1.2,
+        out_dtype="float32")
+    assert not st["capacity_exceeded"]
+    assert st["active_l2"] == st_full["active_l2"]
+    got = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
+                         np.asarray(ids2), st["active_l2"], res, 4)
+    want = unblock_grid(np.asarray(full), res, 4)
+    np.testing.assert_array_equal(got, want)
+    # the payload really is small (capacity-bound, so the ratio improves
+    # with res: these fixed caps are ~13% of the dense f32 bytes at 128,
+    # and the production 256^3 serving caps are ~8%)
+    if res >= 128:
+        assert st["payload_bytes"] < 0.15 * 4 * res ** 3
+
+
+def test_serve_meshes_geometry_and_pipelining():
+    lat = [np.asarray([0.5, 0.0], np.float32),
+           np.asarray([1.0, 0.0], np.float32)]
+    radii = [0.4, 0.45]
+    out = list(serve_meshes(sphere_apply, lat, res=64, safety=1.2))
+    assert len(out) == 2
+    for (v, f, st), r in zip(out, radii):
+        assert len(f) > 100
+        rad = np.linalg.norm(v, axis=1)
+        assert abs(np.median(rad) - r) < 0.02
+        assert st["escalations"] == 0
+
+
+def test_serve_meshes_capacity_escalation():
+    lat = [np.asarray([1.0, 0.0], np.float32)]
+    # absurdly small caps force the escalation path
+    out = list(serve_meshes(sphere_apply, lat, res=64, safety=1.2,
+                            caps=(8, 64, 256)))
+    (v, f, st) = out[0]
+    assert st["escalations"] >= 1
+    rad = np.linalg.norm(v, axis=1)
+    assert abs(np.median(rad) - 0.45) < 0.02

