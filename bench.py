@@ -41,6 +41,9 @@ def fence_time(fn, *args, iters=3, **kw):
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()  # affects only compile time, not timings
     import jax
     import jax.numpy as jnp
     from latent_diffusion_models_for_shape_sdfs_tpu.config import (

@@ -129,6 +129,9 @@ def cmd_preprocess(args):
 
 
 def main(argv=None):
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="ldm-sdf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

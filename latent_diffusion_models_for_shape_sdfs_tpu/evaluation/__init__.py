@@ -9,3 +9,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.generative import (  
     mmd_coverage,
     one_nna,
 )
+from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.device_metrics import (  # noqa: F401
+    evaluate_generated_device,
+    pairwise_metric,
+)

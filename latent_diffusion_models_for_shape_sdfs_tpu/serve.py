@@ -55,6 +55,15 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
         apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
         safety=safety, check_overflow=False) for z in latents]
 
+    # start the NEXT payload's d2h while the host reconstructs/meshes the
+    # current one — on a throttled host link the transfer is the
+    # per-shape bottleneck, and copy_to_host_async overlaps it with the
+    # marching-cubes work at zero thread cost.
+    for (arrs, _st) in pending:
+        for a in arrs:
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+
     for z, ((fill2, vals2, ids2), stats) in zip(latents, pending):
         c1, c2, c3 = cap1, cap2, cap3
         n1 = int(stats["active_l1"])

@@ -22,10 +22,14 @@ def test_chair_sdf_matches_host_oracle(chairs):
     params = aj.pack_chairs(chairs)
     rng = np.random.default_rng(0)
     p = rng.uniform(-1.1, 1.1, size=(2048, 3)).astype(np.float32)
+    # jit: eager mode issues ~30 relay round-trips per chair, which is
+    # 0.2s each on a fresh relay but seconds each under sustained load
+    # (this test once measured 35s fresh vs 382s late in the suite)
+    f = jax.jit(aj.chair_sdf)
+    pj = jnp.asarray(p)
     for i, shape in enumerate(chairs):
         want = analytic.sdf(shape, p)
-        got = np.asarray(aj.chair_sdf(
-            jax.tree.map(lambda a: a[i], params), jnp.asarray(p)))
+        got = np.asarray(f(jax.tree.map(lambda a: a[i], params), pj))
         np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
 
 

@@ -26,6 +26,8 @@ N_TRAIN = 6144
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from latent_diffusion_models_for_shape_sdfs_tpu.config import (

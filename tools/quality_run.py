@@ -25,6 +25,8 @@ OUT = ROOT / "runs" / "quality_chairs"
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from latent_diffusion_models_for_shape_sdfs_tpu.config import (
@@ -228,12 +230,20 @@ def main():
     ref_clouds = [analytic.sample_surface(train_shapes[i], 2048,
                                           np.random.default_rng(200 + i))
                   for i in range(64)]
-    gm = evaluate_generated(gen_clouds, ref_clouds)
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        evaluate_generated_device)
+    gm = evaluate_generated_device(gen_clouds, ref_clouds,
+                                   metrics=("chamfer", "emd"))
+    # host-oracle cross-check on the chamfer variants (device matrices
+    # are f32 MXU; oracle is f64 KD-tree)
+    gh = evaluate_generated(gen_clouds, ref_clouds)
+    assert abs(gh["mmd_chamfer"] - gm["mmd_chamfer"]) < 5e-4, (gh, gm)
     gm["empty_samples"] = n_empty
     report["generative_metrics"] = gm
     print(f"generative (64 samples vs 64 refs): mmd={gm['mmd_chamfer']:.2e} "
           f"cov={gm['coverage']:.2f} 1nna={gm['one_nna']:.2f} "
-          f"empty={n_empty}", flush=True)
+          f"mmd-emd={gm['mmd_emd']:.3f} cov-emd={gm['coverage_emd']:.2f} "
+          f"1nna-emd={gm['one_nna_emd']:.2f} empty={n_empty}", flush=True)
 
     (OUT / "report.json").write_text(json.dumps(report, indent=2))
 
@@ -253,8 +263,10 @@ def main():
           f"(meshes + full stats under runs/quality_chairs/)",
           f"- generative metrics, 64 DDIM samples vs 64 training chairs "
           f"(2048-pt clouds): MMD-Chamfer {gm['mmd_chamfer']:.2e}, "
-          f"COV {gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f} "
-          f"({n_empty} empty)",
+          f"COV {gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f}; "
+          f"MMD-EMD {gm['mmd_emd']:.3f}, COV-EMD "
+          f"{gm['coverage_emd']:.2f}, 1-NNA-EMD {gm['one_nna_emd']:.2f} "
+          f"({n_empty} empty; device metric path, host-oracle-checked)",
           f"- hier-vs-dense 256^3 crossing integrity (trained decoder): "
           f"f32 flipped {integ['f32']['missed']}/"
           f"{integ['f32']['dense_crossings']} (sub-voxel eval jitter; "

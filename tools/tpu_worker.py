@@ -26,6 +26,8 @@ QUEUE.mkdir(parents=True, exist_ok=True)
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     import jax.numpy as jnp
