@@ -108,6 +108,51 @@ def cmd_eval(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_decode(args):
+    """Latent codes -> meshes via the production serving path.
+
+    Codes come from --codes file.npy ([L] or [N, L]) or --scene ids
+    (rows of the stage-1 latent table). Serving-path decode (sparse
+    near-surface payload) for hierarchical-eligible resolutions, dense
+    adaptive fallback otherwise."""
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_ad_state, make_fast_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_adaptive)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        extract_mesh)
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        serve_meshes)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+
+    decoder, ad_state = load_ad_state(args.exp_dir)
+    if args.codes:
+        zs = np.asarray(np.load(args.codes), np.float32)
+        zs = zs[None] if zs.ndim == 1 else zs
+        names = [f"code_{i:03d}" for i in range(len(zs))]
+    elif args.scene:
+        zs = np.asarray(ad_state.codes)[np.asarray(args.scene)]
+        names = [f"scene_{i:03d}" for i in args.scene]
+    else:
+        sys.exit("decode needs --codes FILE.npy or --scene IDs")
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    out_dir = pathlib.Path(args.out or
+                           pathlib.Path(args.exp_dir) / "decoded")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    res = args.res
+    if res >= 64 and res % 16 == 0:
+        meshes = ((v, f) for v, f, _st in
+                  serve_meshes(apply_fn, list(zs), res=res))
+    else:
+        meshes = ((lambda g: extract_mesh(g))(
+            decode_grid_adaptive(apply_fn, z, res)) for z in zs)
+    for name, (v, f) in zip(names, meshes):
+        meshio.write_obj(out_dir / f"{name}.obj", v, f)
+        print(f"{name}: {len(v)} verts, {len(f)} faces -> "
+              f"{out_dir / name}.obj")
+
+
 def cmd_preprocess(args):
     """Mesh file(s) -> SDF sample .npz via the native C++ tool."""
     root = pathlib.Path(__file__).resolve().parents[1]
@@ -182,6 +227,16 @@ def main(argv=None):
     s.add_argument("exp_dir")
     s.add_argument("--points", type=int, default=30_000)
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("decode", help="latent codes -> meshes (serving "
+                       "path)")
+    s.add_argument("exp_dir")
+    s.add_argument("--codes", help=".npy of [L] or [N,L] latents")
+    s.add_argument("--scene", type=int, nargs="+",
+                   help="stage-1 latent-table row ids")
+    s.add_argument("--res", type=int, default=128)
+    s.add_argument("--out", help="output dir (default <exp>/decoded)")
+    s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("preprocess", help="mesh -> SDF samples (native)")
     s.add_argument("mesh", help="mesh file or directory")

@@ -439,16 +439,21 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     tau2 = safety * (b2 * h * math.sqrt(3.0) / 2.0)
     # safety3 (0 = inherit safety) widens only the finest selection
     # margin; widening is compute-free while n3 <= cap3 (the fine eval
-    # runs over the static cap3 rows regardless). Measured on a trained
-    # 6k-chair decoder at 256^3, it buys nothing: the ~3%-of-crossings
-    # sign disagreement vs the dense f32 decode is IDENTICAL from
-    # safety3=1.2 to 6.0 (= refine every sub-block) because it is not
-    # selection loss at all — the b3-row evaluation compiles to a
-    # slightly different rounding than the b2-row/dense one (|delta| <=
-    # 2.6e-4 ~ one bf16 step at SDF scale; hier2 fine values are
-    # bitwise equal to dense), flipping signs of voxels that sit within
-    # ~1e-5..3e-4 of the iso level. Mesh impact is below the 100k-point
-    # surface-sampling floor (tools/quality_run.py quantifies both).
+    # runs over the static cap3 rows regardless). Measured at 256^3 on
+    # two trained decoders (6k chairs L1 2e-3; 128 chairs L1 5e-3),
+    # crossing-set differences vs the dense f32 decode are INVARIANT to
+    # safety, safety3, AND refining every sub-block — they are not
+    # selection loss at all, but per-program evaluation jitter:
+    # apply_fn is bit-deterministic standalone across batch shapes, yet
+    # once inlined into differently-shaped decode programs XLA fuses it
+    # slightly differently and near-zero voxels (|sdf| ~ 1e-5..3e-4)
+    # flip sign, shifting ~1-3% of crossings by one voxel (missed ~=
+    # extra; min-|dense|-side always < 3e-4 ~ 4% of a voxel; mesh-level
+    # impact below the 100k-point sampling floor).
+    # tools/quality_run.py asserts the production config loses no
+    # crossing whose BOTH sides are > h/2 from the iso level (the
+    # lost-geometry detector); production paths pass safety3=2.0 as
+    # free insurance for steeper decoders.
     tau3 = (safety3 or safety) * (b3 * h * math.sqrt(3.0) / 2.0)
 
     def compact(mask, cap):
@@ -692,10 +697,13 @@ def decode_grid_adaptive(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     for _ in range(4):
         # block layout: the x-major device assembly costs an extra ~30%
         # in padded-transpose HBM traffic; unblocking on host is one
-        # memcpy-bound pass
+        # memcpy-bound pass.
+        # safety3=2.0: free insurance while n3 <= cap3 (= res^2 here,
+        # ~40% occupied in practice) — see the tau3 notes in
+        # _decode_grid_hier3_impl for the measured jitter-vs-loss story.
         grid, stats = decode_grid_hierarchical3_device(
             apply_fn, z, res, 16, 4, 2, cap1, cap2, cap3, safety=1.2,
-            layout="block")
+            safety3=2.0, layout="block")
         if not stats["capacity_exceeded"]:
             return unblock_grid(np.asarray(grid), res, 4)
         if stats["active_l1"] > stats["cap1"]:

@@ -34,8 +34,8 @@ def _default_caps(res: int) -> tuple:
 
 
 def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
-                 safety: float = 1.2, iso: float = 0.0,
-                 caps: Optional[tuple] = None,
+                 safety: float = 1.2, safety3: float = 2.0,
+                 iso: float = 0.0, caps: Optional[tuple] = None,
                  max_escalations: int = 4) -> Iterator[tuple]:
     """Yield (verts, faces, stats) for each latent in `latents`.
 
@@ -53,7 +53,8 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     # enqueue every decode before consuming any payload (async dispatch)
     pending = [decode_grid_hierarchical3_sparse(
         apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
-        safety=safety, check_overflow=False) for z in latents]
+        safety=safety, safety3=safety3,
+        check_overflow=False) for z in latents]
 
     # start the NEXT payload's d2h while the host reconstructs/meshes the
     # current one — on a throttled host link the transfer is the
@@ -79,7 +80,7 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                 c3 *= 2
             (fill2, vals2, ids2), st = decode_grid_hierarchical3_sparse(
                 apply_fn, jnp.asarray(z), res, 16, 4, 2, c1, c2, c3,
-                safety=safety, check_overflow=True)
+                safety=safety, safety3=safety3, check_overflow=True)
             n1, n2, n3 = st["active_l1"], st["active_l2"], st["active_l3"]
             esc += 1
         grid = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
@@ -91,6 +92,53 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
             "payload_bytes": int(np.asarray(fill2).nbytes
                                  + np.asarray(vals2).nbytes
                                  + np.asarray(ids2).nbytes)}
+
+
+def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
+                         res: int = 256, safety: float = 1.2,
+                         safety3: float = 2.0, iso: float = 0.0,
+                         caps: Optional[tuple] = None) -> Iterator[tuple]:
+    """serve_meshes scaled over a jax.sharding.Mesh: the latent batch is
+    sharded across devices (parallel.dp.make_dp_sparse_decode_fn), each
+    device computes sparse payloads for its shapes, and the host streams
+    reconstruction + marching cubes shape by shape. Shapes whose surface
+    shell overflows the shared capacities are re-decoded through the
+    single-device escalation path (rare; capacities are surface-shell
+    scale). Yields (verts, faces, stats) in input order; the latent list
+    is padded to a multiple of mesh.size internally.
+    """
+    import jax.numpy as jnp
+
+    cap1, cap2, cap3 = caps or _default_caps(res)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        make_dp_sparse_decode_fn)
+
+    n_shapes = len(latents)
+    n_dev = mesh.size
+    pad = (-n_shapes) % n_dev
+    zs = np.stack([np.asarray(z, np.float32) for z in latents]
+                  + [np.asarray(latents[0], np.float32)] * pad)
+    fn = make_dp_sparse_decode_fn(apply_fn, res, len(zs), mesh,
+                                  (cap1, cap2, cap3), safety, safety3)
+    (f2, v2, i2), (n1, n2, n3) = fn(jnp.asarray(zs))
+    n1, n2, n3 = (np.asarray(x) for x in (n1, n2, n3))
+    for i in range(n_shapes):
+        if n1[i] > cap1 or n2[i] > cap2 or n3[i] > cap3:
+            # escalation fallback: single-shape path with doubled caps
+            yield next(iter(serve_meshes(
+                apply_fn, [zs[i]], res=res, safety=safety,
+                safety3=safety3, iso=iso,
+                caps=(2 * cap1, 2 * cap2, 2 * cap3))))
+            continue
+        grid = sparse_to_grid(np.asarray(f2[i]), np.asarray(v2[i]),
+                              np.asarray(i2[i]), int(n2[i]), res, 4)
+        verts, faces = extract_mesh(grid, iso=iso)
+        yield verts, faces, {
+            "active_l1": int(n1[i]), "active_l2": int(n2[i]),
+            "active_l3": int(n3[i]), "escalations": 0,
+            "payload_bytes": int(np.asarray(f2[i]).nbytes
+                                 + np.asarray(v2[i]).nbytes
+                                 + np.asarray(i2[i]).nbytes)}
 
 
 def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,

@@ -80,6 +80,24 @@ def test_eval(exp):
     assert "mean" in out and len(out["chamfer_l2"]) == 2
 
 
+def test_decode_scenes_and_codes_file(exp, tmp_path):
+    main(["decode", str(exp), "--scene", "0", "1", "--res", "24"])
+    objs = sorted((exp / "decoded").glob("scene_*.obj"))
+    assert len(objs) == 2 and objs[0].stat().st_size > 100
+    # same latents via a codes file -> identical meshes
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_ad_state)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+    _, st = load_ad_state(str(exp))
+    np.save(tmp_path / "z.npy", np.asarray(st.codes)[:2])
+    main(["decode", str(exp), "--codes", str(tmp_path / "z.npy"),
+          "--res", "24", "--out", str(tmp_path / "dec")])
+    v_a, _ = meshio.read_obj(objs[0])
+    v_b, _ = meshio.read_obj(tmp_path / "dec" / "code_000.obj")
+    np.testing.assert_array_equal(v_a, v_b)
+
+
 def test_train_ad_resume(exp):
     # --resume restores the latest epoch and continues without error
     main(["train-ad", str(exp), "--resume"])

@@ -96,6 +96,23 @@ _SCRIPT = textwrap.dedent("""
     np.testing.assert_allclose(g_dp, g_1d, rtol=1e-5, atol=1e-6)
     print("OK grid_decode")
 
+    # --- sharded mesh serving == single-device serving path
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        serve_meshes, serve_meshes_sharded)
+
+    def sphere_apply(zz, q):
+        return jnp.sqrt(jnp.sum(q * q, axis=-1)) - (0.35 + 0.1 * zz[0])
+
+    lat = [np.asarray([0.1 * i, 0.0], np.float32) for i in range(10)]
+    out_dp = list(serve_meshes_sharded(sphere_apply, lat, mesh, res=64))
+    out_1d = list(serve_meshes(sphere_apply, lat, res=64))
+    assert len(out_dp) == 10
+    for (vd, fd, sd), (v1, f1, s1) in zip(out_dp, out_1d):
+        assert sd["active_l2"] == s1["active_l2"], (sd, s1)
+        np.testing.assert_array_equal(vd, v1)
+        np.testing.assert_array_equal(fd, f1)
+    print("OK serve_sharded")
+
     # --- driver contract
     import importlib.util
     spec = importlib.util.spec_from_file_location(

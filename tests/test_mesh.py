@@ -154,3 +154,31 @@ def test_decode_points_shardings(amesh, batch_axes):
         "points not sharded"
     assert _has_annot(txt, f"{N}xf32", f"[{batch_axes}]"), \
         "values not sharded"
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_dp_sparse_serving_shardings(amesh, batch_axes):
+    """The sharded mesh-serving decode keeps every payload tensor sharded
+    on the SHAPE axis end to end (parallel.dp.make_dp_sparse_decode_fn)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        make_dp_sparse_decode_fn)
+
+    def apply_fn(z, xyz):
+        return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1)) - (0.3 + 0.1 * z[0])
+
+    S, L, res = 16, 8, 64
+    cap1, cap2, cap3 = 64, 512, 2048
+    fn = make_dp_sparse_decode_fn(apply_fn, res, S, amesh,
+                                  (cap1, cap2, cap3))
+    zs = jax.ShapeDtypeStruct((S, L), jnp.float32)
+    txt = _lower_tpu(fn, zs)
+    nb2 = res // 4
+    assert _has_annot(txt, f"{S}x{L}xf32", f"[{batch_axes}, {{}}]"), \
+        "latent batch not sharded"
+    assert _has_annot(txt, f"{S}x{nb2 ** 3}xbf16",
+                      f"[{batch_axes}, {{}}]"), "fill cascade not sharded"
+    assert _has_annot(txt, f"{S}x{cap2}x64xbf16",
+                      f"[{batch_axes}, {{}}, {{}}]"), \
+        "payload rows not sharded"
+    assert _has_annot(txt, f"{S}x{cap2}xi32", f"[{batch_axes}, {{}}]"), \
+        "payload ids not sharded"

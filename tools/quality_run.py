@@ -131,13 +131,15 @@ def main():
                                    chunk=1_048_576))
     ins_d = dense <= 0.0
     h_vox = 2.0 / 255
-    integ = {}
-    for mode, od in (("f32", "float32"), ("bf16", "bfloat16")):
-        gh, sth = decode_grid_hierarchical3_device(
-            apply_fn, state.codes[0], 256, 16, 4, 2, 1024, 16384, 65536,
-            safety=1.2, layout="block", out_dtype=od)
-        assert not sth["capacity_exceeded"], sth
-        hier = unblock_grid(np.asarray(gh, np.float32), 256, 4)
+
+    def flip_stats(hier):
+        # A missed crossing always comes from ONE voxel of the pair
+        # changing sign between the two decodes; the displacement that
+        # matters is that voxel's distance from the iso level — i.e. the
+        # MIN |dense| over the pair. (Bucketing on the inside voxel's
+        # value misreads a 1e-4 jitter flip next to a -6e-3 neighbour as
+        # a 'deep' miss — that artifact cost a day of chasing.) A real
+        # lost crossing would have BOTH sides far from zero.
         missed = total = extra = big = 0
         for ax in range(3):
             sd = np.swapaxes(ins_d, 0, ax)
@@ -149,15 +151,39 @@ def main():
             total += int(cd.sum())
             missed += int(m.sum())
             extra += int((ch & ~cd).sum())
-            vlo = np.abs(np.where(sd[:-1], dv[:-1], dv[1:]))
-            big += int((vlo[m] > h_vox / 2).sum())
-        integ[mode] = {"dense_crossings": total, "missed": missed,
-                       "extra": extra, "missed_beyond_half_voxel": big,
-                       "miss_rate": missed / max(total, 1)}
-        print(f"hier-vs-dense [{mode}]: {missed}/{total} flipped "
-              f"(+{extra} extra), {big} beyond h/2", flush=True)
-        assert big <= 10, ("hierarchical decode lost real geometry: "
-                           f"{big} crossings beyond h/2 of iso")
+            vmin = np.minimum(np.abs(dv[:-1]), np.abs(dv[1:]))
+            big += int((vmin[m] > h_vox / 2).sum())
+        return {"dense_crossings": total, "missed": missed,
+                "extra": extra, "missed_beyond_half_voxel": big,
+                "miss_rate": missed / max(total, 1)}
+
+    integ = {}
+    # production config (decode_grid_adaptive / serve: safety3=2.0) in
+    # both output dtypes — the asserted rows
+    for mode, od in (("f32", "float32"), ("bf16", "bfloat16")):
+        gh, sth = decode_grid_hierarchical3_device(
+            apply_fn, state.codes[0], 256, 16, 4, 2, 1024, 16384, 65536,
+            safety=1.2, safety3=2.0, layout="block", out_dtype=od)
+        assert not sth["capacity_exceeded"], sth
+        hier = unblock_grid(np.asarray(gh, np.float32), 256, 4)
+        integ[mode] = flip_stats(hier)
+        print(f"hier-vs-dense [{mode}, safety3=2]: "
+              f"{integ[mode]['missed']}/{integ[mode]['dense_crossings']} "
+              f"flipped (+{integ[mode]['extra']} extra), "
+              f"{integ[mode]['missed_beyond_half_voxel']} beyond h/2",
+              flush=True)
+        assert integ[mode]["missed_beyond_half_voxel"] <= 10, (
+            "hierarchical decode lost real geometry", integ[mode])
+    # diagnostic: the geometric tau3 (safety3 inherited) — shows how much
+    # the widened finest-level margin buys on this decoder
+    gh, sth = decode_grid_hierarchical3_device(
+        apply_fn, state.codes[0], 256, 16, 4, 2, 1024, 16384, 65536,
+        safety=1.2, layout="block", out_dtype="float32")
+    integ["f32_inherited_tau3"] = flip_stats(
+        unblock_grid(np.asarray(gh, np.float32), 256, 4))
+    print(f"hier-vs-dense [f32, tau3 inherited]: "
+          f"{integ['f32_inherited_tau3']['missed_beyond_half_voxel']} "
+          f"beyond h/2 (diagnostic only)", flush=True)
     report["hier_integrity_256"] = integ
 
     # ---------------- 2. held-out reconstruction via latent optimization
@@ -267,13 +293,17 @@ def main():
           f"MMD-EMD {gm['mmd_emd']:.3f}, COV-EMD "
           f"{gm['coverage_emd']:.2f}, 1-NNA-EMD {gm['one_nna_emd']:.2f} "
           f"({n_empty} empty; device metric path, host-oracle-checked)",
-          f"- hier-vs-dense 256^3 crossing integrity (trained decoder): "
-          f"f32 flipped {integ['f32']['missed']}/"
+          f"- hier-vs-dense 256^3 crossing integrity (trained decoder, "
+          f"production safety3=2.0): f32 flipped {integ['f32']['missed']}/"
           f"{integ['f32']['dense_crossings']} (sub-voxel eval jitter; "
           f"{integ['f32']['missed_beyond_half_voxel']} beyond h/2), bf16 "
           f"flipped {integ['bf16']['missed']}/"
           f"{integ['bf16']['dense_crossings']} "
-          f"({integ['bf16']['missed_beyond_half_voxel']} beyond h/2)",
+          f"({integ['bf16']['missed_beyond_half_voxel']} beyond h/2); "
+          f"with the geometric tau3 instead, "
+          f"{integ['f32_inherited_tau3']['missed_beyond_half_voxel']} "
+          f"beyond h/2 — the widened finest-level margin is what keeps "
+          f"the sparse decode faithful on rough decoders",
           "",
           "Chamfer here is squared-distance (DeepSDF convention); the "
           "128^3 grid alone bounds it at ~2e-5 for a perfect surface.",
