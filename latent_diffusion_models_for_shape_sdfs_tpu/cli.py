@@ -153,6 +153,29 @@ def cmd_decode(args):
               f"{out_dir / name}.obj")
 
 
+def cmd_export_decoder(args):
+    """Serialize the trained decoder's serving decode as an AOT artifact
+    (jax.export StableHLO; params baked in; loadable without model code
+    via export_artifact.load_decode_program)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.export_artifact import (
+        export_decode_program)
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_ad_state, make_fast_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        _default_caps)
+
+    decoder, ad_state = load_ad_state(args.exp_dir)
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    out = args.out or str(pathlib.Path(args.exp_dir)
+                          / f"decoder_{args.res}.zip")
+    blob = export_decode_program(
+        apply_fn, decoder.cfg.latent_size, args.res,
+        _default_caps(args.res),
+        platforms=args.platforms.split(",") if args.platforms else None,
+        path=out)
+    print(f"wrote {out} ({len(blob)} bytes, res {args.res})")
+
+
 def cmd_preprocess(args):
     """Mesh file(s) -> SDF sample .npz via the native C++ tool."""
     root = pathlib.Path(__file__).resolve().parents[1]
@@ -237,6 +260,15 @@ def main(argv=None):
     s.add_argument("--res", type=int, default=128)
     s.add_argument("--out", help="output dir (default <exp>/decoded)")
     s.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("export-decoder", help="AOT serving artifact "
+                       "(jax.export, params baked in)")
+    s.add_argument("exp_dir")
+    s.add_argument("--res", type=int, default=256)
+    s.add_argument("--out")
+    s.add_argument("--platforms",
+                   help="comma list, e.g. tpu (default: current backend)")
+    s.set_defaults(fn=cmd_export_decoder)
 
     s = sub.add_parser("preprocess", help="mesh -> SDF samples (native)")
     s.add_argument("mesh", help="mesh file or directory")

@@ -1,0 +1,121 @@
+"""AOT-serialized serving artifacts (jax.export).
+
+Production deployment of the mesh-serving decode without Python tracing:
+`export_decode_program` serializes the three-level sparse decode (one
+latent -> compact near-surface payload) as a portable StableHLO artifact
+plus a JSON header of the geometry parameters the host consumer needs
+(res, b2, caps). A server loads it with `load_decode_program` and calls
+it on raw latent vectors — no model code, decoder params are baked into
+the artifact as constants.
+
+The artifact is a zip with two entries:
+  meta.json  — {"latent_size", "res", "b2", "cap1", "cap2", "cap3",
+                "safety", "safety3", "out_dtype", "platforms"}
+  program.bin — jax.export serialization (versioned, forward-compatible
+                per jax's export compatibility guarantees)
+
+`platforms` defaults to the current backend; pass
+platforms=("tpu",) to cross-compile a TPU artifact from a CPU host.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import zipfile
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def export_decode_program(apply_fn, latent_size: int, res: int,
+                          caps: tuple, safety: float = 1.2,
+                          safety3: float = 2.0,
+                          out_dtype: str = "bfloat16",
+                          platforms: Optional[Sequence[str]] = None,
+                          path: Optional[str] = None) -> bytes:
+    """Serialize the sparse serving decode for one-latent requests.
+
+    Exported signature: z [latent_size] f32 ->
+      (fill2 [nb2^3], vals2 [cap2, b2^3], ids2 [cap2], n1, n2, n3).
+    Decoder parameters reachable from `apply_fn` are captured as
+    constants inside the artifact.
+    """
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        _decode_grid_hier3_impl)
+
+    cap1, cap2, cap3 = caps
+
+    @jax.jit
+    def run(z):
+        (f2, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
+            apply_fn, z, res, 16, 4, 2, cap1, cap2, cap3,
+            safety=safety, safety3=safety3, layout="sparse",
+            out_dtype=out_dtype)
+        return f2, v2, i2, n1, n2, n3
+
+    z_spec = jax.ShapeDtypeStruct((latent_size,), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(run, **kw)(z_spec)
+    meta = {"latent_size": latent_size, "res": res, "b2": 4,
+            "cap1": cap1, "cap2": cap2, "cap3": cap3,
+            "safety": safety, "safety3": safety3,
+            "out_dtype": out_dtype, "platforms": list(exp.platforms)}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        zf.writestr("program.bin", exp.serialize())
+    blob = buf.getvalue()
+    if path is not None:
+        pathlib.Path(path).write_bytes(blob)
+    return blob
+
+
+class DecodeArtifact:
+    """Loaded serving artifact: callable latent -> (grid | payload)."""
+
+    def __init__(self, meta: dict, fn):
+        self.meta = meta
+        self._fn = fn
+
+    def payload(self, z) -> tuple:
+        """z [latent_size] -> (fill2, vals2, ids2, n1, n2, n3)."""
+        import jax.numpy as jnp
+        return self._fn(jnp.asarray(z, jnp.float32))
+
+    def grid(self, z) -> np.ndarray:
+        """Full x-major [res]^3 host grid via sparse reconstruction."""
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+            sparse_to_grid)
+        f2, v2, i2, _n1, n2, _n3 = self.payload(z)
+        n2 = min(int(n2), self.meta["cap2"])
+        return sparse_to_grid(np.asarray(f2), np.asarray(v2),
+                              np.asarray(i2), n2, self.meta["res"],
+                              self.meta["b2"])
+
+    def mesh(self, z, iso: float = 0.0) -> tuple:
+        """z -> (verts, faces) through marching cubes."""
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+            extract_mesh)
+        return extract_mesh(self.grid(z), iso=iso)
+
+
+def load_decode_program(blob_or_path) -> DecodeArtifact:
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, (str, pathlib.Path)):
+        blob = pathlib.Path(blob_or_path).read_bytes()
+    else:
+        blob = blob_or_path
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        meta = json.loads(zf.read("meta.json"))
+        exp = jexport.deserialize(zf.read("program.bin"))
+    return DecodeArtifact(meta, jax.jit(exp.call))

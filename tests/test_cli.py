@@ -80,6 +80,22 @@ def test_eval(exp):
     assert "mean" in out and len(out["chamfer_l2"]) == 2
 
 
+def test_export_decoder_artifact(exp, tmp_path):
+    out = tmp_path / "dec.zip"
+    main(["export-decoder", str(exp), "--res", "32", "--out", str(out)])
+    from latent_diffusion_models_for_shape_sdfs_tpu.export_artifact import (
+        load_decode_program)
+    art = load_decode_program(out)
+    assert art.meta["res"] == 32
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_ad_state)
+    _, st = load_ad_state(str(exp))
+    g = art.grid(np.asarray(st.codes)[0])
+    assert g.shape == (32, 32, 32)
+    assert (g <= 0).any() and (g > 0).any()
+
+
 def test_decode_scenes_and_codes_file(exp, tmp_path):
     main(["decode", str(exp), "--scene", "0", "1", "--res", "24"])
     objs = sorted((exp / "decoded").glob("scene_*.obj"))

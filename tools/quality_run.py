@@ -258,12 +258,27 @@ def main():
                   for i in range(64)]
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
         evaluate_generated_device)
-    gm = evaluate_generated_device(gen_clouds, ref_clouds,
-                                   metrics=("chamfer", "emd"))
-    # host-oracle cross-check on the chamfer variants (device matrices
-    # are f32 MXU; oracle is f64 KD-tree)
-    gh = evaluate_generated(gen_clouds, ref_clouds)
-    assert abs(gh["mmd_chamfer"] - gm["mmd_chamfer"]) < 5e-4, (gh, gm)
+    # release the training-phase device arrays first: the metric path
+    # allocates [chunk, 2048, 2048] cost tensors and a fragmented HBM
+    # after stage-1/2 + 64 decodes has produced device crashes here
+    import gc
+    del zg, fn, dstate
+    gc.collect()
+    try:
+        gm = evaluate_generated_device(gen_clouds, ref_clouds,
+                                       metrics=("chamfer", "emd"),
+                                       chunk=8)
+        # host-oracle cross-check on the chamfer variants (device
+        # matrices are f32 MXU; oracle is f64 KD-tree)
+        gh = evaluate_generated(gen_clouds, ref_clouds)
+        assert abs(gh["mmd_chamfer"] - gm["mmd_chamfer"]) < 5e-4, (gh, gm)
+    except jax.errors.JaxRuntimeError as e:  # device fault: host path
+        print(f"device metrics failed ({type(e).__name__}); "
+              f"host fallback", flush=True)
+        gm = evaluate_generated(gen_clouds, ref_clouds)
+        gm.update({"mmd_emd": float("nan"), "coverage_emd": float("nan"),
+                   "one_nna_emd": float("nan"),
+                   "device_metrics_error": str(e)[:200]})
     gm["empty_samples"] = n_empty
     report["generative_metrics"] = gm
     print(f"generative (64 samples vs 64 refs): mmd={gm['mmd_chamfer']:.2e} "
