@@ -37,20 +37,25 @@ class DeviceSampleBank(NamedTuple):
     def from_dataset(cls, ds: SdfDataset,
                      dtype=jnp.float32) -> "DeviceSampleBank":
         S = len(ds)
-        pmax = max(max(len(p) for p in ds.pos), 1)
-        nmax = max(max(len(n) for n in ds.neg), 1)
-        pos = np.zeros((S, pmax, 4), np.float32)
-        neg = np.zeros((S, nmax, 4), np.float32)
-        pc = np.zeros((S,), np.int32)
-        nc = np.zeros((S,), np.int32)
+        # degenerate scenes fall back to the other side's rows (mirrors
+        # SdfDataset.sample_scene's top-up) — apply the fallback BEFORE
+        # sizing the buffers, or a scene with zero negatives makes its
+        # fallback rows overflow an nmax computed from the raw lists
+        eff = []
         for i in range(S):
             p, n = ds.pos[i], ds.neg[i]
-            # degenerate scenes: fall back to the union on the empty side
-            # (mirrors SdfDataset.sample_scene's top-up)
             if len(p) == 0:
                 p = n
             if len(n) == 0:
                 n = p
+            eff.append((p, n))
+        pmax = max(max(len(p) for p, _ in eff), 1)
+        nmax = max(max(len(n) for _, n in eff), 1)
+        pos = np.zeros((S, pmax, 4), np.float32)
+        neg = np.zeros((S, nmax, 4), np.float32)
+        pc = np.zeros((S,), np.int32)
+        nc = np.zeros((S,), np.int32)
+        for i, (p, n) in enumerate(eff):
             pos[i, :len(p)] = p
             neg[i, :len(n)] = n
             pc[i] = len(p)
