@@ -256,6 +256,10 @@ def main():
     ref_clouds = [analytic.sample_surface(train_shapes[i], 2048,
                                           np.random.default_rng(200 + i))
                   for i in range(64)]
+    # persist the clouds: a device fault in the metric phase must not
+    # cost the 20-min pipeline (post-hoc: load + evaluate_generated[_device])
+    np.savez_compressed(OUT / "metric_clouds.npz",
+                        gen=np.stack(gen_clouds), ref=np.stack(ref_clouds))
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
         evaluate_generated_device)
     # release the training-phase device arrays first: the metric path
