@@ -79,6 +79,10 @@ def export_decode_program(apply_fn, latent_size: int, res: int,
     return blob
 
 
+class CapacityExceeded(RuntimeError):
+    """A latent's surface shell overflowed the artifact's static caps."""
+
+
 class DecodeArtifact:
     """Loaded serving artifact: callable latent -> (grid | payload)."""
 
@@ -91,21 +95,40 @@ class DecodeArtifact:
         import jax.numpy as jnp
         return self._fn(jnp.asarray(z, jnp.float32))
 
-    def grid(self, z) -> np.ndarray:
-        """Full x-major [res]^3 host grid via sparse reconstruction."""
+    def grid(self, z, check_capacity: bool = True) -> np.ndarray:
+        """Full x-major [res]^3 host grid via sparse reconstruction.
+
+        Raises CapacityExceeded when the latent's surface shell
+        overflows the capacities baked into the artifact: the AOT
+        program has static caps and CANNOT escalate like
+        serve.serve_meshes — a silently clamped payload would mean
+        silently missing geometry. Re-export with larger caps for such
+        shapes (or pass check_capacity=False to accept truncation).
+        """
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
             sparse_to_grid)
-        f2, v2, i2, _n1, n2, _n3 = self.payload(z)
-        n2 = min(int(n2), self.meta["cap2"])
+        f2, v2, i2, n1, n2, n3 = self.payload(z)
+        n1, n2, n3 = int(n1), int(n2), int(n3)
+        m = self.meta
+        if check_capacity and (n1 > m["cap1"] or n2 > m["cap2"]
+                               or n3 > m["cap3"]):
+            raise CapacityExceeded(
+                f"surface shell overflows exported caps: active "
+                f"l1/l2/l3 = {n1}/{n2}/{n3} vs caps {m['cap1']}/"
+                f"{m['cap2']}/{m['cap3']}; the AOT artifact cannot "
+                f"escalate — re-export with larger caps")
         return sparse_to_grid(np.asarray(f2), np.asarray(v2),
-                              np.asarray(i2), n2, self.meta["res"],
-                              self.meta["b2"])
+                              np.asarray(i2), min(n2, m["cap2"]),
+                              m["res"], m["b2"])
 
-    def mesh(self, z, iso: float = 0.0) -> tuple:
-        """z -> (verts, faces) through marching cubes."""
+    def mesh(self, z, iso: float = 0.0,
+             check_capacity: bool = True) -> tuple:
+        """z -> (verts, faces) through marching cubes. Raises
+        CapacityExceeded on surface-shell overflow (see grid())."""
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
             extract_mesh)
-        return extract_mesh(self.grid(z), iso=iso)
+        return extract_mesh(self.grid(z, check_capacity=check_capacity),
+                            iso=iso)
 
 
 def load_decode_program(blob_or_path) -> DecodeArtifact:

@@ -104,7 +104,8 @@ def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
 
 def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
                              caps: tuple, safety: float = 1.2,
-                             safety3: float = 2.0):
+                             safety3: float = 2.0,
+                             out_dtype: str = "bfloat16"):
     """Jitted zs [batch, L] -> sparse serving payloads, shape axis sharded.
 
     Mesh-serving scale-out: each device runs the three-level sparse
@@ -127,7 +128,7 @@ def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
         (f2, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
             apply_fn, zz, res, 16, 4, 2, cap1, cap2, cap3,
             safety=safety, safety3=safety3, layout="sparse",
-            points_per_group=ppg, out_dtype="bfloat16")
+            points_per_group=ppg, out_dtype=out_dtype)
         return (f2, v2, i2), (n1, n2, n3)
 
     sh1 = batch_sharded(mesh, 1)

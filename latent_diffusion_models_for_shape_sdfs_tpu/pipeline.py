@@ -257,11 +257,17 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
         # The bf16 sparse payload reconstructs the same hierarchy as
         # decode_grid_adaptive (same safety/caps/escalation); bf16-vs-f32
         # crossing fidelity is quantified in QUALITY.md (identical
-        # missed-crossing sets at 256^3 on a trained decoder).
+        # missed-crossing sets at 256^3 on a trained decoder). In the
+        # fp32 lineage-parity mode (compute_dtype float32) the payload
+        # stays f32 so sampling matches the dense decode bitwise.
         from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
             serve_meshes)
+        payload_dtype = ("float32"
+                         if cfg.ad.decoder.compute_dtype == "float32"
+                         else "bfloat16")
         for i, (v, f, _st) in enumerate(serve_meshes(
-                apply_fn, list(zs), res=res, iso=sc.iso_level)):
+                apply_fn, list(zs), res=res, iso=sc.iso_level,
+                out_dtype=payload_dtype)):
             meshes.append((v, f))
             if write_meshes:
                 meshio.write_obj(lay["samples"] / f"sample_{i:03d}.obj",

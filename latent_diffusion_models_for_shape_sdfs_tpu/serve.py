@@ -6,9 +6,13 @@ d2h than a full 256^3 grid; the host link, not TPU compute, bounds
 end-to-end mesh serving) -> host grid reconstruction -> marching cubes
 (native C++ fast path when built).
 
-Pipelining comes from JAX async dispatch: all device decodes are
-enqueued up front, so the device is decoding shape i+1 while the host
-reconstructs and meshes shape i.
+Pipelining comes from two places: JAX async dispatch (all device
+decodes are enqueued up front, so the device is decoding shape i+1
+while the host works on shape i) and a small host thread pool that
+overlaps grid reconstruction + marching cubes ACROSS shapes — the host
+meshing (~hundreds of ms/shape, native MC runs as a subprocess so it
+parallelizes trivially) dominated end-to-end serving once the d2h was
+overlapped.
 
 SURVEY.md section 3.4 is the underlying call stack; this module is the
 production packaging of it (one call from latents to meshes).
@@ -16,6 +20,7 @@ production packaging of it (one call from latents to meshes).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -36,7 +41,8 @@ def _default_caps(res: int) -> tuple:
 def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                  safety: float = 1.2, safety3: float = 2.0,
                  iso: float = 0.0, caps: Optional[tuple] = None,
-                 max_escalations: int = 4) -> Iterator[tuple]:
+                 max_escalations: int = 4, out_dtype: str = "bfloat16",
+                 mesh_workers: int = 4) -> Iterator[tuple]:
     """Yield (verts, faces, stats) for each latent in `latents`.
 
     `apply_fn`: ops.grid_eval ApplyFn ((z, xyz[N,3]) -> sdf[N]), e.g.
@@ -45,7 +51,16 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     Every decode ships only near-surface blocks + the coarse fill
     cascade; a shape whose surface shell overflows the capacities is
     re-decoded synchronously with doubled caps (same escalation policy
-    as ops.grid_eval.decode_grid_adaptive).
+    as ops.grid_eval.decode_grid_adaptive). If the escalation budget is
+    exhausted with counts still above caps, the mesh is built from the
+    truncated payload and the yielded stats carry
+    ``capacity_exceeded=True`` plus the final ``cap1/cap2/cap3``.
+
+    `out_dtype`: payload dtype ("bfloat16" halves d2h traffic; pass
+    "float32" for the fp32 lineage-parity mode — crossing impact of
+    bf16 is quantified in QUALITY.md). `mesh_workers` > 1 overlaps the
+    host grid-reconstruction + marching-cubes across shapes (results
+    still yield in input order); 1 restores fully serial hosting.
     """
     import jax.numpy as jnp
 
@@ -53,7 +68,7 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     # enqueue every decode before consuming any payload (async dispatch)
     pending = [decode_grid_hierarchical3_sparse(
         apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
-        safety=safety, safety3=safety3,
+        safety=safety, safety3=safety3, out_dtype=out_dtype,
         check_overflow=False) for z in latents]
 
     # start the NEXT payload's d2h while the host reconstructs/meshes the
@@ -65,39 +80,63 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
 
-    for z, ((fill2, vals2, ids2), stats) in zip(latents, pending):
-        c1, c2, c3 = cap1, cap2, cap3
-        n1 = int(stats["active_l1"])
-        n2 = int(stats["active_l2"])
-        n3 = int(stats["active_l3"])
-        esc = 0
-        while (n1 > c1 or n2 > c2 or n3 > c3) and esc < max_escalations:
-            if n1 > c1:
-                c1 *= 2
-            if n2 > c2:
-                c2 *= 2
-            if n3 > c3:
-                c3 *= 2
-            (fill2, vals2, ids2), st = decode_grid_hierarchical3_sparse(
-                apply_fn, jnp.asarray(z), res, 16, 4, 2, c1, c2, c3,
-                safety=safety, safety3=safety3, check_overflow=True)
-            n1, n2, n3 = st["active_l1"], st["active_l2"], st["active_l3"]
-            esc += 1
+    def mesh_job(fill2, vals2, ids2, n1, n2, n3, c1, c2, c3, esc):
         grid = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
                               np.asarray(ids2), min(n2, c2), res, 4)
         verts, faces = extract_mesh(grid, iso=iso)
-        yield verts, faces, {
+        return verts, faces, {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
-            "escalations": esc,
+            "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
+            "capacity_exceeded": n1 > c1 or n2 > c2 or n3 > c3,
             "payload_bytes": int(np.asarray(fill2).nbytes
                                  + np.asarray(vals2).nbytes
                                  + np.asarray(ids2).nbytes)}
+
+    def jobs():
+        # escalation decodes stay on this (main) thread — one process,
+        # one serialized device stream; only host meshing fans out.
+        for z, ((fill2, vals2, ids2), stats) in zip(latents, pending):
+            c1, c2, c3 = cap1, cap2, cap3
+            n1 = int(stats["active_l1"])
+            n2 = int(stats["active_l2"])
+            n3 = int(stats["active_l3"])
+            esc = 0
+            while (n1 > c1 or n2 > c2 or n3 > c3) \
+                    and esc < max_escalations:
+                # jump straight to the measured count + 25% headroom
+                # (rounded to 128): a doubling ladder from tiny caps can
+                # exhaust the escalation budget before fitting, and the
+                # measured n under-counts only when a COARSER level was
+                # also truncated — which the headroom + loop absorb.
+                def fit(c, n):
+                    return max(2 * c, -(-int(1.25 * n) // 128) * 128) \
+                        if n > c else c
+                c1, c2, c3 = fit(c1, n1), fit(c2, n2), fit(c3, n3)
+                (fill2, vals2, ids2), st = \
+                    decode_grid_hierarchical3_sparse(
+                        apply_fn, jnp.asarray(z), res, 16, 4, 2,
+                        c1, c2, c3, safety=safety, safety3=safety3,
+                        out_dtype=out_dtype, check_overflow=True)
+                n1, n2, n3 = (st["active_l1"], st["active_l2"],
+                              st["active_l3"])
+                esc += 1
+            yield (fill2, vals2, ids2, n1, n2, n3, c1, c2, c3, esc)
+
+    if mesh_workers <= 1:
+        for job in jobs():
+            yield mesh_job(*job)
+        return
+    with ThreadPoolExecutor(max_workers=mesh_workers) as pool:
+        futures = [pool.submit(mesh_job, *job) for job in jobs()]
+        for fut in futures:
+            yield fut.result()
 
 
 def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                          res: int = 256, safety: float = 1.2,
                          safety3: float = 2.0, iso: float = 0.0,
-                         caps: Optional[tuple] = None) -> Iterator[tuple]:
+                         caps: Optional[tuple] = None,
+                         out_dtype: str = "bfloat16") -> Iterator[tuple]:
     """serve_meshes scaled over a jax.sharding.Mesh: the latent batch is
     sharded across devices (parallel.dp.make_dp_sparse_decode_fn), each
     device computes sparse payloads for its shapes, and the host streams
@@ -109,6 +148,9 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
     """
     import jax.numpy as jnp
 
+    if len(latents) == 0:
+        return
+
     cap1, cap2, cap3 = caps or _default_caps(res)
     from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
         make_dp_sparse_decode_fn)
@@ -119,7 +161,8 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
     zs = np.stack([np.asarray(z, np.float32) for z in latents]
                   + [np.asarray(latents[0], np.float32)] * pad)
     fn = make_dp_sparse_decode_fn(apply_fn, res, len(zs), mesh,
-                                  (cap1, cap2, cap3), safety, safety3)
+                                  (cap1, cap2, cap3), safety, safety3,
+                                  out_dtype=out_dtype)
     (f2, v2, i2), (n1, n2, n3) = fn(jnp.asarray(zs))
     n1, n2, n3 = (np.asarray(x) for x in (n1, n2, n3))
     for i in range(n_shapes):
@@ -127,7 +170,7 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
             # escalation fallback: single-shape path with doubled caps
             yield next(iter(serve_meshes(
                 apply_fn, [zs[i]], res=res, safety=safety,
-                safety3=safety3, iso=iso,
+                safety3=safety3, iso=iso, out_dtype=out_dtype,
                 caps=(2 * cap1, 2 * cap2, 2 * cap3))))
             continue
         grid = sparse_to_grid(np.asarray(f2[i]), np.asarray(v2[i]),
@@ -136,6 +179,8 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
         yield verts, faces, {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,
+            "cap1": cap1, "cap2": cap2, "cap3": cap3,
+            "capacity_exceeded": False,
             "payload_bytes": int(np.asarray(f2[i]).nbytes
                                  + np.asarray(v2[i]).nbytes
                                  + np.asarray(i2[i]).nbytes)}

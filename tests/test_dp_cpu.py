@@ -103,6 +103,7 @@ _SCRIPT = textwrap.dedent("""
     def sphere_apply(zz, q):
         return jnp.sqrt(jnp.sum(q * q, axis=-1)) - (0.35 + 0.1 * zz[0])
 
+    assert list(serve_meshes_sharded(sphere_apply, [], mesh)) == []
     lat = [np.asarray([0.1 * i, 0.0], np.float32) for i in range(10)]
     out_dp = list(serve_meshes_sharded(sphere_apply, lat, mesh, res=64))
     out_1d = list(serve_meshes(sphere_apply, lat, res=64))
@@ -132,5 +133,6 @@ def test_dp_on_8_cpu_devices():
                           text=True, timeout=570)
     assert proc.returncode == 0, proc.stderr[-3000:]
     for marker in ("OK train_step", "OK ddim", "OK point_decode",
-                   "OK grid_decode", "OK dryrun_multichip"):
+                   "OK grid_decode", "OK serve_sharded",
+                   "OK dryrun_multichip"):
         assert marker in proc.stdout, (marker, proc.stdout, proc.stderr[-800:])

@@ -4,8 +4,10 @@ payloads/meshes as the live serving path (no model code at load time)."""
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from latent_diffusion_models_for_shape_sdfs_tpu.export_artifact import (
-    export_decode_program, load_decode_program)
+    CapacityExceeded, export_decode_program, load_decode_program)
 from latent_diffusion_models_for_shape_sdfs_tpu.serve import serve_meshes
 
 
@@ -47,3 +49,19 @@ def test_artifact_needs_no_model_code(tmp_path):
     cross = np.where(np.sign(row[:-1]) != np.sign(row[1:]))[0]
     assert len(cross) == 2
     assert abs(abs(xs[cross[0]]) - r) < 0.06
+
+
+def test_artifact_overflow_raises_not_truncates():
+    # The AOT program has static caps and cannot escalate; a latent whose
+    # surface shell overflows them must raise, not silently drop geometry
+    # (ADVICE r2, severity medium).
+    blob = export_decode_program(sphere_apply, 2, 64, (8, 64, 256))
+    art = load_decode_program(blob)
+    z = np.asarray([1.0, 0.0], np.float32)  # big sphere, overflows caps
+    with pytest.raises(CapacityExceeded):
+        art.grid(z)
+    with pytest.raises(CapacityExceeded):
+        art.mesh(z)
+    # explicit opt-out still returns the truncated grid
+    g = art.grid(z, check_capacity=False)
+    assert g.shape == (64, 64, 64)

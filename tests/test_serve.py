@@ -65,5 +65,43 @@ def test_serve_meshes_capacity_escalation():
                             caps=(8, 64, 256)))
     (v, f, st) = out[0]
     assert st["escalations"] >= 1
+    assert not st["capacity_exceeded"]
     rad = np.linalg.norm(v, axis=1)
     assert abs(np.median(rad) - 0.45) < 0.02
+
+
+def test_serve_meshes_truncation_is_flagged():
+    # escalation budget 0 + tiny caps: the payload is truncated and the
+    # stats must say so (ADVICE r2: callers could not detect truncation)
+    lat = [np.asarray([1.0, 0.0], np.float32)]
+    out = list(serve_meshes(sphere_apply, lat, res=64, safety=1.2,
+                            caps=(8, 64, 256), max_escalations=0))
+    (_v, _f, st) = out[0]
+    assert st["capacity_exceeded"]
+    assert (st["cap1"], st["cap2"], st["cap3"]) == (8, 64, 256)
+
+
+def test_serve_meshes_threaded_matches_serial():
+    lat = [np.asarray([0.2 * i, 0.0], np.float32) for i in range(5)]
+    serial = list(serve_meshes(sphere_apply, lat, res=64, mesh_workers=1))
+    pooled = list(serve_meshes(sphere_apply, lat, res=64, mesh_workers=4))
+    assert len(serial) == len(pooled) == 5
+    for (v1, f1, s1), (v2, f2, s2) in zip(serial, pooled):
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(f1, f2)
+        assert s1["active_l2"] == s2["active_l2"]
+
+
+def test_serve_meshes_f32_payload_matches_dense_hier():
+    # fp32 lineage-parity mode: the served grid must equal the f32
+    # on-device-assembled hierarchical grid bitwise
+    z = jnp.asarray([0.5, 0.0])
+    full, _ = decode_grid_hierarchical3_device(
+        sphere_apply, z, 64, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        safety3=2.0, layout="block", out_dtype="float32")
+    (fill2, vals2, ids2), st = decode_grid_hierarchical3_sparse(
+        sphere_apply, z, 64, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        safety3=2.0, out_dtype="float32")
+    got = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
+                         np.asarray(ids2), st["active_l2"], 64, 4)
+    np.testing.assert_array_equal(got, unblock_grid(np.asarray(full), 64, 4))
