@@ -61,7 +61,7 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
         ddim_sample)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        decode_grid, decode_grid_hierarchical2_batch,
+        decode_grid, decode_grid_hierarchical3_batch,
         decode_grid_hierarchical3_device)
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
         make_fast_apply)
@@ -184,15 +184,23 @@ def main():
     # memcpy downstream of the d2h it precedes) + bf16 grid (near iso=0
     # |sdf| <= ~4h, so the bf16 step costs ~1e-4 absolute on MC vertex
     # interpolation — far below the grid-resolution error; crossing
-    # fidelity vs the dense f32 grid is asserted by tools/quality_run.py).
+    # fidelity vs the dense f32 grid is asserted by tools/quality_run.py
+    # FOR THIS EXACT CONFIG: caps come from the shared measured-active
+    # +25%-headroom policy (ops.grid_eval.probe_bench_caps), so the
+    # benched program and the integrity-asserted program are the same).
     # f32 variant recorded alongside.
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        probe_bench_caps)
+    bc1, bc2, bc3 = probe_bench_caps(apply_fast, zperts[0], 256)
+    details["hier3_256_caps"] = [bc1, bc2, bc3]
+    log(f"bench caps 256 (measured-active+25%): {bc1}/{bc2}/{bc3}")
     dt_f32, _ = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
-        apply_fast, zz, 256, 16, 4, 2, 640, 6912, 28672, safety=1.1,
+        apply_fast, zz, 256, 16, 4, 2, bc1, bc2, bc3, safety=1.1,
         layout="block", **kw), "hier3_256_f32")
     details["hier3_256_f32_seconds"] = dt_f32
     details["hier3_256_f32_effective_voxels_per_sec"] = 256 ** 3 / dt_f32
     dt_h, st = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
-        apply_fast, zz, 256, 16, 4, 2, 640, 6912, 28672, safety=1.1,
+        apply_fast, zz, 256, 16, 4, 2, bc1, bc2, bc3, safety=1.1,
         layout="block", out_dtype="bfloat16", **kw), "hier3_256")
     eff_256 = 256 ** 3 / dt_h
     details["hier3_256_seconds"] = dt_h
@@ -204,8 +212,10 @@ def main():
         f"f32 {dt_f32 * 1e3:.1f}ms)")
 
     # 512^3 single shape (block layout; BASELINE config 5 decode path)
+    b51, b52, b53 = probe_bench_caps(apply_fast, zperts[0], 512)
+    details["hier3_512_caps"] = [b51, b52, b53]
     dt_5, st5 = time_hier(lambda zz, **kw: decode_grid_hierarchical3_device(
-        apply_fast, zz, 512, 16, 4, 2, 2048, 28672, 114688, safety=1.1,
+        apply_fast, zz, 512, 16, 4, 2, b51, b52, b53, safety=1.1,
         layout="block", out_dtype="bfloat16", **kw), "hier3_512")
     eff_512 = 512 ** 3 / dt_5
     details["hier3_512_seconds"] = dt_5
@@ -214,27 +224,34 @@ def main():
         f"(active {st5['active_l1']}/{st5['active_l2']}/"
         f"{st5['active_l3']})")
 
-    # 256^3 batched (16-shape chunk of BASELINE config 4's 64/step);
-    # pre-materialized [16, L] slabs, one per call
+    # 256^3 batched (16-shape chunk of BASELINE config 4's 64/step) —
+    # THREE-level batched decode with the production safety3=2.0 margin
+    # (the config-4 carrier, integrity-asserted by tools/quality_run.py);
+    # caps from the same measured-active+25% policy at these margins.
     zb_perts = [jax.block_until_ready(
         jnp.broadcast_to(z0, (16,) + z0.shape) + 1e-6 * (i + 1))
         for i in range(4)]
-    gb, stb = decode_grid_hierarchical2_batch(
-        apply_fast, zb_perts[0], 256, 16, 4, 768, 7168, safety=1.1,
+    ac1, ac2, ac3 = probe_bench_caps(apply_fast, zperts[0], 256,
+                                     safety=1.2, safety3=2.0)
+    details["hier3_batch16_256_caps"] = [ac1, ac2, ac3]
+    gb, stb = decode_grid_hierarchical3_batch(
+        apply_fast, zb_perts[0], 256, 16, 4, 2, ac1, ac2, ac3,
+        safety=1.2, safety3=2.0, out_dtype="bfloat16",
         check_overflow=True)
     assert not stb["capacity_exceeded"], stb
     t0 = time.perf_counter()
     for i in range(1, 4):
-        gb, _ = decode_grid_hierarchical2_batch(
-            apply_fast, zb_perts[i], 256, 16, 4, 768, 7168, safety=1.1,
+        gb, _ = decode_grid_hierarchical3_batch(
+            apply_fast, zb_perts[i], 256, 16, 4, 2, ac1, ac2, ac3,
+            safety=1.2, safety3=2.0, out_dtype="bfloat16",
             check_overflow=False)
     jax.block_until_ready(gb)
     dt_b = (time.perf_counter() - t0) / 3
     eff_b = 16 * 256 ** 3 / dt_b
-    details["hier2_batch16_256_seconds"] = dt_b
-    details["hier2_batch16_256_effective_voxels_per_sec"] = eff_b
-    log(f"hier2 batch16 256^3: {dt_b * 1e3:.1f}ms -> {eff_b:.3e} eff "
-        f"voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
+    details["hier3_batch16_256_seconds"] = dt_b
+    details["hier3_batch16_256_effective_voxels_per_sec"] = eff_b
+    log(f"hier3 batch16 256^3 (safety3=2): {dt_b * 1e3:.1f}ms -> "
+        f"{eff_b:.3e} eff voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
 
     # ---------------- end-to-end mesh serving: latents -> sparse payload
     # d2h -> host reconstruct -> native C++ marching cubes. The sparse

@@ -115,6 +115,9 @@ class DiffConfig:
     beta_end: float = 0.02
     batch_size: int = 256
     lr: float = 1e-4
+    lr_schedule: str = "constant"    # "constant" | "cosine" (warmup ->
+                                     # peak lr -> 5% of lr at num_steps)
+    warmup_steps: int = 0            # linear warmup (cosine schedule)
     ema_decay: float = 0.999
     num_steps: int = 20000
     scan_chunk: int = 100            # steps fused per on-device lax.scan

@@ -5,7 +5,9 @@ from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.mesh_sample import ( 
     sample_mesh_surface,
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.generative import (  # noqa: F401
+    emd_exact,
     evaluate_generated,
+    evaluate_generated_emd_host,
     mmd_coverage,
     one_nna,
 )

@@ -75,18 +75,21 @@ def _sinkhorn_pair(a: jnp.ndarray, b: jnp.ndarray, eps: float,
     return jnp.sum(jnp.exp(logp) * c)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _pairwise_impl(xa: jnp.ndarray, xb: jnp.ndarray, metric: str,
-                   chunk: int, eps: float, iters: int) -> jnp.ndarray:
-    """[S_a, n, 3] x [S_b, m, 3] -> [S_a, S_b] metric matrix."""
-    S_a, S_b = xa.shape[0], xb.shape[0]
-    pair = jnp.stack(jnp.meshgrid(jnp.arange(S_a), jnp.arange(S_b),
-                                  indexing="ij"), -1).reshape(-1, 2)
-    total = pair.shape[0]
-    nchunks = math.ceil(total / chunk)
-    pad = nchunks * chunk - total
-    pair = jnp.pad(pair, ((0, pad), (0, 0)), mode="edge")
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _pair_block_impl(xa: jnp.ndarray, xb: jnp.ndarray, pairs: jnp.ndarray,
+                     metric: str, chunk: int, eps: float,
+                     iters: int) -> jnp.ndarray:
+    """Metric over an explicit [B, 2] pair-index block -> [B].
 
+    The pair list is an ARGUMENT (fixed shape, dynamic content): the
+    host slices the full S_a x S_b pair set into bounded blocks and
+    re-invokes one compiled program per block. Round 2 ran the whole
+    4096-pair matrix inside a single lax.map program; at ~0.5 s/pair
+    (Sinkhorn, n=2048) that is a >30-minute device program, and the
+    relay/worker watchdog killed it ("TPU worker crashed", the NaN-EMD
+    incident). Every individual configuration passes when the program
+    is seconds long — so keep programs short and loop on the host.
+    """
     if metric == "chamfer":
         one = lambda i, j: _chamfer_pair(xa[i], xb[j])
     else:
@@ -95,17 +98,22 @@ def _pairwise_impl(xa: jnp.ndarray, xb: jnp.ndarray, metric: str,
     def do_chunk(p):
         return jax.vmap(lambda ij: one(ij[0], ij[1]))(p)
 
-    out = jax.lax.map(do_chunk, pair.reshape(nchunks, chunk, 2))
-    return out.reshape(-1)[:total].reshape(S_a, S_b)
+    out = jax.lax.map(do_chunk, pairs.reshape(-1, chunk, 2))
+    return out.reshape(-1)
 
 
 def pairwise_metric(set_a, set_b, metric: str = "chamfer",
-                    chunk: int = 16, eps: float = 0.01,
-                    iters: int = 200) -> np.ndarray:
+                    chunk: int = 4, eps: float = 0.01,
+                    iters: int = 200,
+                    max_pairs_per_call: int = 64) -> np.ndarray:
     """Device [len(a), len(b)] matrix of chamfer-L2 or sinkhorn-EMD.
 
     set_a/set_b: lists (or [S, n, 3] arrays) of equal-size clouds.
-    chunk: pairs per lax.map step — peak HBM ~ chunk * n * m * 4 bytes.
+    chunk: pairs per lax.map step — peak HBM ~ chunk * n * m * 4 bytes
+    (a few of them live across logsumexp temporaries).
+    max_pairs_per_call: pairs per compiled program invocation — bounds
+    single-program runtime to seconds (see _pair_block_impl); one
+    compile serves every block (fixed shapes).
     """
     xa = jnp.asarray(np.stack(set_a), jnp.float32)
     xb = jnp.asarray(np.stack(set_b), jnp.float32)
@@ -113,11 +121,48 @@ def pairwise_metric(set_a, set_b, metric: str = "chamfer",
     n, m = xa.shape[1], xb.shape[1]
     if metric == "emd":
         assert n == m, "EMD needs equal-size clouds (1-1 matching)"
-    return np.asarray(_pairwise_impl(xa, xb, metric, chunk, eps, iters))
+    S_a, S_b = int(xa.shape[0]), int(xb.shape[0])
+    pair = np.stack(np.meshgrid(np.arange(S_a), np.arange(S_b),
+                                indexing="ij"), -1).reshape(-1, 2)
+    total = pair.shape[0]
+    block = max(chunk, (max_pairs_per_call // chunk) * chunk)
+    nblocks = math.ceil(total / block)
+    pad = nblocks * block - total
+    pair = np.pad(pair, ((0, pad), (0, 0)), mode="edge").astype(np.int32)
+    outs = [_pair_block_impl(xa, xb, jnp.asarray(pair[s:s + block]),
+                             metric, chunk, eps, iters)
+            for s in range(0, nblocks * block, block)]  # async dispatch
+    flat = np.concatenate([np.asarray(o) for o in outs])
+    return flat[:total].reshape(S_a, S_b)
+
+
+def pairwise_metric_self(set_x, metric: str = "chamfer", chunk: int = 4,
+                         eps: float = 0.01, iters: int = 200,
+                         max_pairs_per_call: int = 64) -> np.ndarray:
+    """Symmetric within-set matrix: evaluates only the i<j triangle
+    (both metrics are symmetric in their arguments) and mirrors — half
+    the device work of the 1-NNA's two within-set matrices."""
+    xx = jnp.asarray(np.stack(set_x), jnp.float32)
+    S = int(xx.shape[0])
+    iu, ju = np.triu_indices(S, k=1)
+    pair = np.stack([iu, ju], -1).astype(np.int32)
+    total = pair.shape[0]
+    block = max(chunk, (max_pairs_per_call // chunk) * chunk)
+    nblocks = math.ceil(total / block)
+    pad = nblocks * block - total
+    pair = np.pad(pair, ((0, pad), (0, 0)), mode="edge")
+    outs = [_pair_block_impl(xx, xx, jnp.asarray(pair[s:s + block]),
+                             metric, chunk, eps, iters)
+            for s in range(0, nblocks * block, block)]
+    flat = np.concatenate([np.asarray(o) for o in outs])[:total]
+    out = np.zeros((S, S), np.float64)
+    out[iu, ju] = flat
+    out[ju, iu] = flat
+    return out
 
 
 def evaluate_generated_device(gen_points, ref_points,
-                              metrics=("chamfer",), chunk: int = 16,
+                              metrics=("chamfer",), chunk: int = 4,
                               eps: float = 0.01, iters: int = 200) -> dict:
     """MMD / COV / 1-NNA over device-computed distance matrices.
 
@@ -133,11 +178,9 @@ def evaluate_generated_device(gen_points, ref_points,
         out[f"mmd_{suffix}"] = float(d_gr.min(axis=0).mean())
         out[f"coverage_{suffix}" if metric != "chamfer" else "coverage"] \
             = float(len(np.unique(d_gr.argmin(axis=1))) / d_gr.shape[1])
-        # 1-NNA needs within-set distances too
-        d_gg = pairwise_metric(gen_points, gen_points, metric, chunk,
-                               eps, iters)
-        d_rr = pairwise_metric(ref_points, ref_points, metric, chunk,
-                               eps, iters)
+        # 1-NNA needs within-set distances too (triangle-only, mirrored)
+        d_gg = pairwise_metric_self(gen_points, metric, chunk, eps, iters)
+        d_rr = pairwise_metric_self(ref_points, metric, chunk, eps, iters)
         G, R = d_gr.shape
         d = np.block([[d_gg, d_gr], [d_gr.T, d_rr]])
         np.fill_diagonal(d, np.inf)

@@ -52,6 +52,19 @@ def unnormalize_codes(z: jnp.ndarray, mu: jnp.ndarray,
     return z * sigma + mu
 
 
+def make_diff_tx(cfg: DiffConfig) -> optax.GradientTransformation:
+    """Stage-2 optimizer; one definition so init_diff_state and
+    make_diff_scan agree on the optimizer-state structure."""
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps else cfg.lr,
+            peak_value=cfg.lr, warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.num_steps, end_value=0.05 * cfg.lr)
+        return optax.adam(sched)
+    assert cfg.lr_schedule == "constant", cfg.lr_schedule
+    return optax.adam(cfg.lr)
+
+
 def init_diff_state(cfg: DiffConfig, model: CondDenoiser,
                     key: jax.Array) -> DiffTrainState:
     c = cfg.denoiser

@@ -39,4 +39,26 @@ def test_disjoint_sets_fully_separable():
     assert one_nna(gen, ref) == 1.0
 
 
+def test_host_exact_emd_metrics():
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        emd_exact, evaluate_generated_emd_host)
+    # exact EMD between concentric sphere surfaces ~= radius gap
+    rng = np.random.default_rng(7)
+    a = analytic.sample_surface({"type": "sphere", "r": 0.3}, 256, rng)
+    b = analytic.sample_surface({"type": "sphere", "r": 0.5}, 256, rng)
+    d = emd_exact(a, b)
+    assert abs(d - 0.2) < 0.04
+    assert emd_exact(a, a) == 0.0
+    # full metric dict: identical twins are ideal, keys complete
+    ref = _clouds([0.3, 0.45, 0.6], n=300)
+    gen = _clouds([0.3, 0.45, 0.6], seed=1, n=300)
+    out = evaluate_generated_emd_host(gen, ref, points=128)
+    assert out["coverage_emd"] == 1.0
+    assert out["one_nna_emd"] <= 0.5
+    # 128-pt sphere clouds have ~0.1 mean NN spacing — that sampling
+    # floor, not the radius match, sets the EMD scale here
+    assert out["mmd_emd"] < 0.15
+    assert out["emd_cloud_points"] == 128
+
+
 # (mesh-construction tests live in tests/test_mesh.py)

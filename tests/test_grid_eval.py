@@ -94,6 +94,51 @@ def test_hier2_batch_matches_single():
                                    atol=1e-5)
 
 
+def test_hier3_batch_matches_single():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch, decode_grid_hierarchical3_device)
+    res = 32
+    zs = jnp.asarray([[0.35], [0.5], [0.62]])
+    gb, st = decode_grid_hierarchical3_batch(_sphere_apply, zs, res, 16, 4,
+                                             2, 8, 512, 2048, safety=1.2,
+                                             safety3=2.0, layout="block")
+    assert not st["capacity_exceeded"], st
+    for i in range(3):
+        g1, _ = decode_grid_hierarchical3_device(
+            _sphere_apply, zs[i], res, 16, 4, 2, 8, 512, 2048, safety=1.2,
+            safety3=2.0, layout="block", check_overflow=False)
+        np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(g1),
+                                   atol=1e-5)
+
+
+def test_hier3_batch_crossing_exact_vs_dense():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch, unblock_grid)
+    res = 32
+    zs = jnp.asarray([[0.4], [0.55]])
+    gb, st = decode_grid_hierarchical3_batch(_sphere_apply, zs, res, 16, 4,
+                                             2, 8, 512, 2048, safety=1.2,
+                                             safety3=2.0, layout="block")
+    assert not st["capacity_exceeded"], st
+    for i in range(2):
+        dense = np.asarray(decode_grid(_sphere_apply, zs[i], res,
+                                       chunk=8192))
+        hier = unblock_grid(np.asarray(gb[i]), res, 4)
+        sign = dense < 0
+        crossing = np.zeros_like(sign)
+        for ax in range(3):
+            d = np.diff(sign, axis=ax)
+            sl = [slice(None)] * 3
+            sl[ax] = slice(0, -1)
+            crossing[tuple(sl)] |= d.astype(bool)
+            sl[ax] = slice(1, None)
+            crossing[tuple(sl)] |= d.astype(bool)
+        np.testing.assert_allclose(hier[crossing], dense[crossing],
+                                   atol=1e-5)
+        far = np.abs(dense) > 0.1
+        assert np.all(np.sign(hier[far]) == np.sign(dense[far]))
+
+
 def test_hier2_capacity_overflow_detected():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
         decode_grid_hierarchical2_device)

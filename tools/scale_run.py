@@ -166,7 +166,9 @@ def main():
                          "mu": mu, "sigma": sigma})
     ck.close()
 
-    # ---------------- generative metrics (64 DDIM-50 samples vs 64 refs)
+    # ---------------- generative sample clouds (64 DDIM-50 vs 64 refs);
+    # metric computation runs crash-isolated afterwards:
+    # tools/metrics_run.py runs/scale_chairs6k (see its docstring)
     sch = DiffusionSchedule.create(dcfg.timesteps)
     fn = lambda z, t: model.apply({"params": dstate.ema_params}, z, t)
     zg = unnormalize_codes(
@@ -185,44 +187,72 @@ def main():
     ref_clouds = [analytic.sample_surface(train_shapes[(i * 7) % N_TRAIN], 2048,
                                           np.random.default_rng(200 + i))
                   for i in range(N_GEN)]
-    gm = evaluate_generated(gen_clouds, ref_clouds)
-    gm["empty_samples"] = n_empty
-    report["generative_metrics"] = gm
-    print(f"generative: mmd={gm['mmd_chamfer']:.2e} cov={gm['coverage']:.2f}"
-          f" 1nna={gm['one_nna']:.2f} empty={n_empty}", flush=True)
+    np.savez_compressed(OUT / "metric_clouds.npz",
+                        gen=np.stack(gen_clouds), ref=np.stack(ref_clouds))
+    report["empty_samples"] = n_empty
+    print(f"metric clouds saved ({len(gen_clouds)} gen, {n_empty} empty); "
+          f"run tools/metrics_run.py next", flush=True)
 
     (OUT / "report.json").write_text(json.dumps(report, indent=2))
+    write_scale_md(report)
+    print("wrote SCALE.md (generative metrics pending metrics_run)")
 
+
+def write_scale_md(report: dict) -> None:
+    """SCALE.md from report.json; tolerates missing generative_metrics
+    (tools/metrics_run.py fills it in and calls this again)."""
+    n_train = report["num_scenes"]
     md = [
         "# SCALE — BASELINE config 3 at spec scale "
-        f"({N_TRAIN} chair latents, 1x v5e)\n",
+        f"({n_train} chair latents, 1x v5e)\n",
+        "Tooling: `tools/scale_run.py` (train + clouds, saves stage "
+        "checkpoints under `runs/scale_chairs6k/`), "
+        "`tools/metrics_run.py` (crash-isolated generative metrics), "
+        "`tools/heldout_eval.py` (held-out battery). Raw numbers: "
+        "`runs/scale_chairs6k/*.json`.\n",
         f"- device: {report['device']}; sample bank "
-        f"({N_TRAIN}x{SAMPLES_PER_SHAPE}, "
+        f"({n_train}x{report['samples_per_shape']}, "
         f"{report['bank_bytes']/2**30:.2f} GiB) generated ON DEVICE in "
         f"{report['bank_seconds']:.0f}s (data/analytic_jax.py)",
-        f"- stage-1 joint training, {N_TRAIN}x256 latent table, fused "
-        f"Pallas kernel: {EPOCHS} epochs ({steps} steps) in "
+        f"- stage-1 joint training, {n_train}x256 latent table, fused "
+        f"Pallas kernel: {report['ad_epochs']} epochs "
+        f"({report['ad_steps']} steps) in "
         f"{report['ad_seconds']:.0f}s = "
         f"{report['ad_steps_per_sec']:.1f} steps/s; final clamped-L1 "
         f"{report['ad_final_l1']:.4f}",
-        f"- train-set Chamfer-L2 (16/{N_TRAIN} chairs, 128^3): median "
+        f"- train-set Chamfer-L2 (16/{n_train} chairs, 128^3): median "
         f"{report['train_chamfer_median']:.2e}, mean "
         f"{report['train_chamfer_mean']:.2e}",
         f"- held-out chair (latent opt, best of 4 inits): Chamfer-L2 "
         f"{report['held_out_chamfer']:.2e}",
-        f"- stage-2 eps-MSE after {dcfg.num_steps} steps over all "
-        f"{N_TRAIN} codes: {report['diff_loss']:.3f} "
+        f"- stage-2 eps-MSE after {report['diff_steps']} steps over all "
+        f"{n_train} codes: {report['diff_loss']:.3f} "
         f"({report['diff_seconds']:.0f}s)",
-        f"- generative metrics (64 DDIM-50 samples vs 64 refs, 2048-pt "
-        f"clouds): MMD-Chamfer {gm['mmd_chamfer']:.2e}, COV "
-        f"{gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f} "
-        f"({n_empty} empty)",
+    ]
+    gm = report.get("generative_metrics")
+    if gm:
+        md.append(
+            f"- generative metrics (64 DDIM-50 samples vs 64 refs, "
+            f"2048-pt clouds): MMD-Chamfer {gm['mmd_chamfer']:.2e}, COV "
+            f"{gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f}; MMD-EMD "
+            f"{gm['mmd_emd']:.4f}, COV-EMD {gm['coverage_emd']:.2f}, "
+            f"1-NNA-EMD {gm['one_nna_emd']:.2f} "
+            f"({report['empty_samples']} empty; EMD via "
+            f"{gm.get('emd_source', 'device Sinkhorn')})")
+    else:
+        md.append(f"- generative metrics: clouds saved "
+                  f"({report['empty_samples']} empty) — run "
+                  f"`python tools/metrics_run.py runs/scale_chairs6k`")
+    if "diff_sweep" in report:
+        md.append(f"- stage-2 sweep (tools/diff_sweep.py): see "
+                  f"SWEEP table below; production config = "
+                  f"{report['diff_sweep']['chosen']}")
+    md += [
         "",
         "Chamfer is squared-distance (DeepSDF convention); the 128^3 grid "
         "alone bounds it at ~2e-5 for a perfect surface.",
     ]
     (ROOT / "SCALE.md").write_text("\n".join(md) + "\n")
-    print("wrote SCALE.md")
 
 
 if __name__ == "__main__":
