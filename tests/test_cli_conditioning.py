@@ -36,7 +36,8 @@ OVERRIDES = [
     "--set", "diff.denoiser.cond_drop_prob=0.1",
     "--set", "diff.timesteps=1000",
     "--set", "diff.batch_size=32",
-    "--set", "diff.num_steps=6000",
+    "--set", "diff.num_steps=3000",
+    "--set", "diff.ema_decay=0.995",
     "--set", "diff.scan_chunk=500",
     "--set", "sample.grid_res=32",
     "--set", "sample.ddim_steps=50",

@@ -88,8 +88,8 @@ def test_partial_sdf_conditional_sampling():
         denoiser=DenoiserConfig(latent_size=L, hidden_dim=128, num_blocks=2,
                                 time_embed_dim=32, partial_sdf_cond=True,
                                 partial_points=npts, cond_drop_prob=0.1),
-        timesteps=100, batch_size=128, lr=2e-3, num_steps=2000,
-        scan_chunk=400, seed=0)
+        timesteps=100, batch_size=64, lr=2e-3, ema_decay=0.99,
+        num_steps=1200, scan_chunk=400, seed=0)
     model, state, (mu, sigma), loss = train_diffusion(
         cfg, codes, obs_xyz=obs_xyz, obs_sdf=obs_sdf)
     assert loss < 0.5, loss
@@ -112,17 +112,21 @@ def test_unet_denoiser_trains():
     a = rng.normal(-2, 0.15, size=(200, Lu))
     b = rng.normal(2, 0.15, size=(200, Lu))
     codes = np.concatenate([a, b]).astype(np.float32)
+    # ema_decay 0.98: at this step budget the default 0.999 EMA is still
+    # mostly init weights and sampling reads pure noise — the fit is
+    # fine (loss ~0.12), the average was stale. Distribution-level UNet
+    # evidence at real scale lives in the 6k sweep (SCALE.md).
     cfg = DiffConfig(
-        denoiser=DenoiserConfig(arch="unet", latent_size=Lu, hidden_dim=256,
+        denoiser=DenoiserConfig(arch="unet", latent_size=Lu, hidden_dim=64,
                                 time_embed_dim=32),
-        timesteps=100, batch_size=64, lr=2e-3, num_steps=3000,
-        scan_chunk=500, seed=0)
+        timesteps=100, batch_size=32, lr=3e-3, ema_decay=0.98,
+        num_steps=600, scan_chunk=300, seed=0)
     model, state, (mu, sigma), loss = train_diffusion(cfg, codes)
-    assert loss < 0.6, loss
+    assert loss < 0.5, loss
     sch = DiffusionSchedule.create(cfg.timesteps)
     fn = lambda z, t: model.apply({"params": state.ema_params}, z, t)
     z = np.asarray(unnormalize_codes(
-        ddim_sample(fn, sch, jax.random.PRNGKey(5), 32, Lu, steps=50),
+        ddim_sample(fn, sch, jax.random.PRNGKey(5), 32, Lu, steps=20),
         mu, sigma))
     m = z.mean(axis=1)
     assert np.mean((np.abs(m + 2) < 1.0) | (np.abs(m - 2) < 1.0)) > 0.8

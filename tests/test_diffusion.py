@@ -69,6 +69,46 @@ def test_normalize_roundtrip():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cosine_lr_schedule_trains():
+    """lr_schedule="cosine" must build a consistent optimizer between
+    init_diff_state and the scan (shared make_diff_tx) and still fit the
+    toy problem."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion import (
+        make_diff_tx)
+    import optax
+    cfg = DiffConfig(denoiser=DenoiserConfig(latent_size=4, hidden_dim=32,
+                                             num_blocks=1,
+                                             time_embed_dim=16),
+                     timesteps=50, batch_size=64, lr=2e-3,
+                     lr_schedule="cosine", warmup_steps=100,
+                     num_steps=600, scan_chunk=200, seed=0)
+    tx = make_diff_tx(cfg)
+    assert isinstance(tx, optax.GradientTransformation)
+    rng = np.random.default_rng(2)
+    codes = rng.normal(0, 1, size=(200, 4)).astype(np.float32)
+    _model, state, _, loss = train_diffusion(cfg, codes)
+    assert int(state.step) == 600
+    assert np.isfinite(loss)
+
+
+def test_zca_whitening_roundtrip():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from diff_sweep import zca
+    rng = np.random.default_rng(3)
+    # strongly correlated codes
+    base = rng.normal(size=(400, 8))
+    mix = rng.normal(size=(8, 16))
+    codes = (base @ mix + rng.normal(2.0, 0.05, size=16)).astype(np.float32)
+    w, mu, W, W_inv = zca(codes)
+    cov = np.cov(w.T)
+    # whitened covariance ~ identity on the signal subspace (rank 8);
+    # regularized tail stays bounded
+    assert abs(np.diag(cov).max() - 1.0) < 0.2
+    back = w @ W_inv + mu
+    np.testing.assert_allclose(back, codes, atol=1e-2)
+
+
 def test_toy_two_gaussian_train_and_sample():
     """Train on codes from two separated Gaussians; DDPM samples must land
     near the two modes with both modes represented."""

@@ -66,38 +66,60 @@ def main():
     apply_fn = make_pallas_apply(decoder, params)
 
     # ---- 1. held-out battery (8 chairs never seen in training: the
-    # split generator consumed indices 0..6144; draw from a fresh seed)
+    # split generator consumed indices 0..6144; draw from a fresh seed).
+    # Two observation budgets per shape (VERDICT r2 #7: held-out
+    # reconstructions hallucinate extra geometry in unobserved regions —
+    # pred->gt dominated every round-2 row while gt->pred stayed at the
+    # sampling floor):
+    #   A: 8k obs, 95% surface-biased (round 2's setting);
+    #   B: 16k obs, 70% surface-biased — 4.8k uniform free-space samples
+    #      carve the empty regions where the auto-decoder prior likes to
+    #      grow furniture.
     held = analytic.make_synthetic_split("chair", 8, seed=4242)
-    rows = []
-    for i, shape in enumerate(held):
-        rng = np.random.default_rng(1000 + i)
-        ox, od = analytic.sample_sdf_points(shape, 8000, rng)
-        z, info = reconstruct_latent(
-            decoder, params, jnp.asarray(ox), jnp.asarray(od),
-            ReconstructConfig(num_steps=1600, clamp_dist=0.1, num_inits=4))
-        grid = decode_grid_adaptive(apply_fn, z, 128)
-        v, f = extract_mesh(grid)
-        if not len(f):
-            rows.append({"chamfer": float("inf")})
-            continue
-        pred = sample_mesh_surface(v, f, 30_000, seed=i)
-        gt = analytic.sample_surface(shape, 30_000,
-                                     np.random.default_rng(2000 + i))
-        rows.append({
-            "chamfer": chamfer_l2(pred, gt),
-            "pred_to_gt": chamfer_l2_directed(pred, gt),
-            "gt_to_pred": chamfer_l2_directed(gt, pred),
-            "l1_last": info["l1_last"],
-        })
-        print(f"held-out {i}: chamfer={rows[-1]['chamfer']:.2e} "
-              f"(p2g {rows[-1]['pred_to_gt']:.2e} / g2p "
-              f"{rows[-1]['gt_to_pred']:.2e}) l1={info['l1_last']:.4f}",
+    budgets = {"A_8k_surf95": (8000, 0.95), "B_16k_surf70": (16000, 0.70)}
+    batteries = {}
+    for bname, (n_obs, surf_frac) in budgets.items():
+        rows = []
+        for i, shape in enumerate(held):
+            rng = np.random.default_rng(1000 + i)
+            ox, od = analytic.sample_sdf_points(shape, n_obs, rng,
+                                               surface_frac=surf_frac)
+            z, info = reconstruct_latent(
+                decoder, params, jnp.asarray(ox), jnp.asarray(od),
+                ReconstructConfig(num_steps=1600, clamp_dist=0.1,
+                                  num_inits=4))
+            grid = decode_grid_adaptive(apply_fn, z, 128)
+            v, f = extract_mesh(grid)
+            if not len(f):
+                rows.append({"chamfer": float("inf")})
+                continue
+            pred = sample_mesh_surface(v, f, 30_000, seed=i)
+            gt = analytic.sample_surface(shape, 30_000,
+                                         np.random.default_rng(2000 + i))
+            rows.append({
+                "chamfer": chamfer_l2(pred, gt),
+                "pred_to_gt": chamfer_l2_directed(pred, gt),
+                "gt_to_pred": chamfer_l2_directed(gt, pred),
+                "l1_last": info["l1_last"],
+            })
+            print(f"held-out[{bname}] {i}: "
+                  f"chamfer={rows[-1]['chamfer']:.2e} "
+                  f"(p2g {rows[-1]['pred_to_gt']:.2e} / g2p "
+                  f"{rows[-1]['gt_to_pred']:.2e}) "
+                  f"l1={info['l1_last']:.4f}", flush=True)
+        ch = [r["chamfer"] for r in rows]
+        batteries[bname] = {
+            "n_obs": n_obs, "surface_frac": surf_frac, "rows": rows,
+            "median": float(np.median(ch)), "mean": float(np.mean(ch)),
+            "worst_pred_to_gt": float(max(r.get("pred_to_gt", np.inf)
+                                          for r in rows)),
+            "median_gt_to_pred": float(np.median(
+                [r.get("gt_to_pred", np.inf) for r in rows]))}
+        print(f"held-out[{bname}]: median={batteries[bname]['median']:.2e}"
+              f" worst p2g={batteries[bname]['worst_pred_to_gt']:.2e}",
               flush=True)
-    ch = [r["chamfer"] for r in rows]
-    report["held_out"] = {"rows": rows, "median": float(np.median(ch)),
-                          "mean": float(np.mean(ch))}
-    print(f"held-out median chamfer: {report['held_out']['median']:.2e}",
-          flush=True)
+    report["held_out"] = batteries["A_8k_surf95"]
+    report["held_out_budgets"] = batteries
 
     # ---- 2. serving path on trained codes, 256^3
     zs = [jax.block_until_ready(codes[i]) for i in range(0, 40, 8)]

@@ -91,6 +91,17 @@ def main(argv=None):
     t0 = time.time()
     gm = compute_metrics(gen, ref, use_device=not args.no_device,
                          chunk=args.chunk)
+    gm["ref_protocol"] = ("decoded (same decode->MC->sample pipeline as "
+                          "gen)" if "ref_analytic" in clouds.files
+                          else "analytic surfaces")
+    if "ref_analytic" in clouds.files:
+        # secondary: the round-2 analytic-reference protocol (carries a
+        # ~0.66 1-NNA decode-artifact floor; see tools/diff_sweep.py
+        # oracle control) — chamfer variants only
+        from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+            evaluate_generated)
+        ga = evaluate_generated(gen, [c for c in clouds["ref_analytic"]])
+        gm.update({f"{k}_analytic": v for k, v in ga.items()})
     gm["empty_samples"] = report.get("empty_samples", 0)
     gm["seconds"] = time.time() - t0
     report["generative_metrics"] = gm

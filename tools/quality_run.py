@@ -327,11 +327,20 @@ def main():
             n_empty += 1
             continue
         gen_clouds.append(sample_mesh_surface(v, f, 2048, seed=100 + i))
-    ref_clouds = [analytic.sample_surface(train_shapes[i], 2048,
-                                          np.random.default_rng(200 + i))
-                  for i in range(64)]
+    # refs in BOTH protocols (see tools/scale_run.py — the decoded-ref
+    # set shares the gen pipeline and is the headline)
+    ref_analytic = [analytic.sample_surface(train_shapes[i], 2048,
+                                            np.random.default_rng(200 + i))
+                    for i in range(64)]
+    ref_decoded = []
+    for i in range(64):
+        grid = decode_grid_adaptive(apply_fn, state.codes[i], 96)
+        v, f = extract_mesh(grid)
+        ref_decoded.append(sample_mesh_surface(v, f, 2048, seed=200 + i))
     np.savez_compressed(OUT / "metric_clouds.npz",
-                        gen=np.stack(gen_clouds), ref=np.stack(ref_clouds))
+                        gen=np.stack(gen_clouds),
+                        ref=np.stack(ref_decoded),
+                        ref_analytic=np.stack(ref_analytic))
     report["empty_samples"] = n_empty
     print(f"metric clouds saved ({len(gen_clouds)} gen / 64 ref, "
           f"{n_empty} empty); run tools/metrics_run.py next", flush=True)
@@ -366,12 +375,21 @@ def write_quality_md(report: dict) -> None:
         src = gm.get("emd_source", "device Sinkhorn")
         md.append(
             f"- generative metrics, 64 DDIM samples vs 64 training chairs "
-            f"(2048-pt clouds): MMD-Chamfer {gm['mmd_chamfer']:.2e}, "
+            f"(2048-pt clouds, refs "
+            f"{gm.get('ref_protocol', 'analytic')}): "
+            f"MMD-Chamfer {gm['mmd_chamfer']:.2e}, "
             f"COV {gm['coverage']:.2f}, 1-NNA {gm['one_nna']:.2f}; "
             f"MMD-EMD {gm['mmd_emd']:.3f}, COV-EMD "
             f"{gm['coverage_emd']:.2f}, 1-NNA-EMD {gm['one_nna_emd']:.2f} "
             f"({report['empty_samples']} empty; EMD via {src}; "
             f"chamfer host-oracle-checked)")
+        if "one_nna_analytic" in gm:
+            md.append(
+                f"  - secondary analytic-ref protocol (0.66 1-NNA "
+                f"decode-artifact floor, see diff_sweep oracle): "
+                f"MMD-Chamfer {gm['mmd_chamfer_analytic']:.2e}, COV "
+                f"{gm['coverage_analytic']:.2f}, 1-NNA "
+                f"{gm['one_nna_analytic']:.2f}")
     else:
         md.append(f"- generative metrics: clouds saved "
                   f"({report['empty_samples']} empty samples) — run "
