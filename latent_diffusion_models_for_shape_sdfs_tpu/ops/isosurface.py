@@ -164,17 +164,76 @@ def _native_mc_binary() -> Optional[str]:
     return str(cand) if cand.exists() else None
 
 
+_MC_LIB = "unset"  # lazily resolved ctypes handle (None = unavailable)
+
+
+def _native_mc_lib():
+    """ctypes handle to libmarching_cubes_c, if built. The in-process
+    entry skips the subprocess protocol's 64 MB tempfile round-trip +
+    process spawn per mesh — the dominant host cost on the serving path
+    once d2h is overlapped. mt::extract holds no global state, so calls
+    from serve_meshes' mesh-worker threads are safe."""
+    global _MC_LIB
+    if _MC_LIB != "unset":
+        return _MC_LIB
+    import ctypes
+    env = os.environ.get("LDM_SDF_NATIVE_MC_LIB")
+    here = pathlib.Path(__file__).resolve().parents[2]
+    cand = env or str(here / "native" / "build" / "libmarching_cubes_c.so")
+    if not pathlib.Path(cand).exists():
+        _MC_LIB = None
+        return None
+    lib = ctypes.CDLL(cand)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.mc_run.restype = ctypes.c_void_p
+    lib.mc_run.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, f32p,
+                           ctypes.c_float, i64p, i64p]
+    lib.mc_copy.restype = None
+    lib.mc_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
+    lib.mc_free.restype = None
+    lib.mc_free.argtypes = [ctypes.c_void_p]
+    _MC_LIB = lib
+    return lib
+
+
+def _extract_mesh_clib(lib, grid: np.ndarray, iso: float, origin,
+                       spacing: float) -> tuple:
+    import ctypes
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    org = np.asarray(origin, np.float32)
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    h = lib.mc_run(grid.ctypes.data_as(f32p), grid.shape[0],
+                   ctypes.c_float(iso), org.ctypes.data_as(f32p),
+                   ctypes.c_float(spacing), ctypes.byref(nv),
+                   ctypes.byref(nf))
+    try:
+        verts = np.empty((nv.value, 3), np.float32)
+        faces = np.empty((nf.value, 3), np.int64)
+        lib.mc_copy(h, verts.ctypes.data_as(f32p),
+                    faces.ctypes.data_as(i64p))
+    finally:
+        lib.mc_free(h)
+    return verts, faces
+
+
 def extract_mesh(grid: np.ndarray, iso: float = 0.0,
                  origin=(-1.0, -1.0, -1.0), spacing: Optional[float] = None,
                  prefer_native: bool = True) -> tuple:
-    """Dispatch: native C++ extractor when built, NumPy fallback otherwise."""
-    binary = _native_mc_binary() if prefer_native else None
-    if binary is None:
-        return marching_tetrahedra(grid, iso, origin, spacing)
+    """Dispatch: in-process native lib > native subprocess > NumPy."""
     grid = np.ascontiguousarray(grid, np.float32)
     R = grid.shape[0]
     if spacing is None:
         spacing = 2.0 / (R - 1)
+    if prefer_native:
+        lib = _native_mc_lib()
+        if lib is not None:
+            return _extract_mesh_clib(lib, grid, iso, origin, spacing)
+    binary = _native_mc_binary() if prefer_native else None
+    if binary is None:
+        return marching_tetrahedra(grid, iso, origin, spacing)
     with tempfile.TemporaryDirectory() as td:
         gpath = pathlib.Path(td) / "grid.bin"
         opath = pathlib.Path(td) / "mesh.bin"

@@ -108,6 +108,31 @@ def test_cpp_marching_cubes_matches_python():
     assert np.abs(r - 0.5).max() < 2.0 / (res - 1)
 
 
+def test_clib_mc_matches_subprocess():
+    """The in-process ctypes entry (libmarching_cubes_c) must be
+    bit-identical to the subprocess protocol — same mt::extract, two
+    transports."""
+    lib = isosurface._native_mc_lib()
+    if lib is None or isosurface._native_mc_binary() is None:
+        import pytest
+        pytest.skip("native marching cubes not built")
+    res = 49
+    pts = make_grid_points(res)
+    grid = np.ascontiguousarray(
+        analytic.sdf({"type": "torus", "R": 0.5, "r": 0.2},
+                     pts).reshape(res, res, res).astype(np.float32))
+    v1, f1 = isosurface._extract_mesh_clib(lib, grid, 0.0, (-1, -1, -1),
+                                           2.0 / (res - 1))
+    saved = isosurface._MC_LIB
+    try:
+        isosurface._MC_LIB = None  # force the subprocess transport
+        v2, f2 = isosurface.extract_mesh(grid)
+    finally:
+        isosurface._MC_LIB = saved
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+
+
 @needs_native
 def test_cpp_mc_euler_characteristic():
     res = 25

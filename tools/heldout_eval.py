@@ -171,6 +171,13 @@ def main():
     (OUT / "heldout_eval.json").write_text(json.dumps(report, indent=2))
     print("wrote heldout_eval.json")
 
+    # refresh SCALE.md with the battery + serving rows
+    import sys
+    sys.path.insert(0, str(ROOT / "tools"))
+    from scale_run import write_scale_md
+    write_scale_md(json.loads((OUT / "report.json").read_text()))
+    print("rewrote SCALE.md")
+
 
 if __name__ == "__main__":
     main()
