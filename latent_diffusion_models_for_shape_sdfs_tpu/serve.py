@@ -165,18 +165,12 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                                   out_dtype=out_dtype)
     (f2, v2, i2), (n1, n2, n3) = fn(jnp.asarray(zs))
     n1, n2, n3 = (np.asarray(x) for x in (n1, n2, n3))
-    for i in range(n_shapes):
-        if n1[i] > cap1 or n2[i] > cap2 or n3[i] > cap3:
-            # escalation fallback: single-shape path with doubled caps
-            yield next(iter(serve_meshes(
-                apply_fn, [zs[i]], res=res, safety=safety,
-                safety3=safety3, iso=iso, out_dtype=out_dtype,
-                caps=(2 * cap1, 2 * cap2, 2 * cap3))))
-            continue
+
+    def mesh_job(i):
         grid = sparse_to_grid(np.asarray(f2[i]), np.asarray(v2[i]),
                               np.asarray(i2[i]), int(n2[i]), res, 4)
         verts, faces = extract_mesh(grid, iso=iso)
-        yield verts, faces, {
+        return verts, faces, {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,
             "cap1": cap1, "cap2": cap2, "cap3": cap3,
@@ -184,6 +178,23 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
             "payload_bytes": int(np.asarray(f2[i]).nbytes
                                  + np.asarray(v2[i]).nbytes
                                  + np.asarray(i2[i]).nbytes)}
+
+    # host meshing overlapped across shapes; escalation re-decodes (rare)
+    # stay on this thread — one serialized device stream.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {}
+        for i in range(n_shapes):
+            if not (n1[i] > cap1 or n2[i] > cap2 or n3[i] > cap3):
+                futures[i] = pool.submit(mesh_job, i)
+        for i in range(n_shapes):
+            if i in futures:
+                yield futures[i].result()
+            else:
+                # escalation fallback: single-shape path with doubled caps
+                yield next(iter(serve_meshes(
+                    apply_fn, [zs[i]], res=res, safety=safety,
+                    safety3=safety3, iso=iso, out_dtype=out_dtype,
+                    caps=(2 * cap1, 2 * cap2, 2 * cap3))))
 
 
 def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,

@@ -406,6 +406,18 @@ def write_quality_md(report: dict) -> None:
         f"{integ['f32_inherited_tau3']['missed_beyond_half_voxel']} "
         f"beyond h/2 — all flips are <=3e-4 per-program evaluation "
         f"jitter on near-iso voxels, no geometry lost at any setting"]
+    if "bench_bf16_safety1.1" in integ:
+        bc = integ["bench_bf16_safety1.1"]
+        md.append(
+            f"- BENCH-config integrity (the exact bench.py program: bf16, "
+            f"safety=1.1, caps {bc['caps'][0]}/{bc['caps'][1]}/"
+            f"{bc['caps'][2]}): flipped {bc['missed']}/"
+            f"{bc['dense_crossings']}, {bc['missed_beyond_half_voxel']} "
+            f"beyond h/2; active l1/l2/l3 = {bc['active'][0]}/"
+            f"{bc['active'][1]}/{bc['active'][2]} — "
+            f"{100*bc['active'][2]/bc['caps'][2]:.0f}% of cap3, so the "
+            f"benched config and the integrity-asserted config are the "
+            f"same program with stated headroom")
     if "batch_integrity_256" in report:
         bi = report["batch_integrity_256"]
         md.append(
