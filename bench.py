@@ -254,10 +254,11 @@ def main():
         f"{eff_b:.3e} eff voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
 
     # ---------------- end-to-end mesh serving: latents -> sparse payload
-    # d2h -> host reconstruct -> native C++ marching cubes. The sparse
-    # payload (near-surface blocks only) is what makes this viable over a
-    # throttled host link: ~2.6 MB/shape at 256^3 instead of the 33 MB
-    # bf16 full grid.
+    # d2h -> host reconstruct -> native C++ marching cubes. The compact
+    # v2 payload (near-surface rows only, int8 sign-preserving values,
+    # bucketed row slicing) is what makes this viable over a throttled
+    # host link: ~0.5 MB/shape at 256^3 instead of the 33 MB bf16 full
+    # grid (or the 2.6 MB cap-sized v1 payload).
     from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
         serve_meshes)
     zsrv = [jax.block_until_ready(z0 + 1e-6 * (i + 1)) for i in range(9)]

@@ -34,13 +34,18 @@ import numpy as np
 def export_decode_program(apply_fn, latent_size: int, res: int,
                           caps: tuple, safety: float = 1.2,
                           safety3: float = 2.0,
-                          out_dtype: str = "bfloat16",
+                          out_dtype: str = "int8",
                           platforms: Optional[Sequence[str]] = None,
                           path: Optional[str] = None) -> bytes:
     """Serialize the sparse serving decode for one-latent requests.
 
     Exported signature: z [latent_size] f32 ->
-      (fill2 [nb2^3], vals2 [cap2, b2^3], ids2 [cap2], n1, n2, n3).
+      (c1 [nb1^3], c2 [cap1, (b1/b2)^3], idx1 [cap1],
+       vals2 [cap2, b2^3], ids2 [cap2], n1, n2, n3)
+    — the compact v2 payload serve.serve_meshes ships (minus its
+    dynamic row bucketing, which an AOT program cannot do: the payload
+    is cap-sized). out_dtype="int8" (default) is the sign-preserving
+    quantized payload; the dequantization scale is stored in meta.
     Decoder parameters reachable from `apply_fn` are captured as
     constants inside the artifact.
     """
@@ -48,27 +53,30 @@ def export_decode_program(apply_fn, latent_size: int, res: int,
     from jax import export as jexport
 
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        _decode_grid_hier3_impl)
+        _decode_grid_hier3_impl, hier3_int8_scale)
 
     cap1, cap2, cap3 = caps
 
     @jax.jit
     def run(z):
-        (f2, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
+        (c1, c2, i1, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
             apply_fn, z, res, 16, 4, 2, cap1, cap2, cap3,
-            safety=safety, safety3=safety3, layout="sparse",
+            safety=safety, safety3=safety3, layout="sparse2",
             out_dtype=out_dtype)
-        return f2, v2, i2, n1, n2, n3
+        return c1, c2, i1, v2, i2, n1, n2, n3
 
     z_spec = jax.ShapeDtypeStruct((latent_size,), jnp.float32)
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
     exp = jexport.export(run, **kw)(z_spec)
-    meta = {"latent_size": latent_size, "res": res, "b2": 4,
+    meta = {"latent_size": latent_size, "res": res, "b1": 16, "b2": 4,
             "cap1": cap1, "cap2": cap2, "cap3": cap3,
             "safety": safety, "safety3": safety3,
-            "out_dtype": out_dtype, "platforms": list(exp.platforms)}
+            "out_dtype": out_dtype, "payload": "sparse2",
+            "quant_scale": (hier3_int8_scale(res, 4, safety)
+                            if out_dtype == "int8" else None),
+            "platforms": list(exp.platforms)}
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("meta.json", json.dumps(meta, indent=2))
@@ -91,7 +99,7 @@ class DecodeArtifact:
         self._fn = fn
 
     def payload(self, z) -> tuple:
-        """z [latent_size] -> (fill2, vals2, ids2, n1, n2, n3)."""
+        """z [latent_size] -> (c1, c2, idx1, vals2, ids2, n1, n2, n3)."""
         import jax.numpy as jnp
         return self._fn(jnp.asarray(z, jnp.float32))
 
@@ -106,8 +114,8 @@ class DecodeArtifact:
         shapes (or pass check_capacity=False to accept truncation).
         """
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-            sparse_to_grid)
-        f2, v2, i2, n1, n2, n3 = self.payload(z)
+            sparse2_to_grid)
+        c1, c2, i1, v2, i2, n1, n2, n3 = self.payload(z)
         n1, n2, n3 = int(n1), int(n2), int(n3)
         m = self.meta
         if check_capacity and (n1 > m["cap1"] or n2 > m["cap2"]
@@ -117,9 +125,10 @@ class DecodeArtifact:
                 f"l1/l2/l3 = {n1}/{n2}/{n3} vs caps {m['cap1']}/"
                 f"{m['cap2']}/{m['cap3']}; the AOT artifact cannot "
                 f"escalate — re-export with larger caps")
-        return sparse_to_grid(np.asarray(f2), np.asarray(v2),
-                              np.asarray(i2), min(n2, m["cap2"]),
-                              m["res"], m["b2"])
+        return sparse2_to_grid(c1, c2, i1, v2, i2,
+                               min(n1, m["cap1"]), min(n2, m["cap2"]),
+                               m["res"], m["b1"], m["b2"],
+                               dequant_scale=m.get("quant_scale"))
 
     def mesh(self, z, iso: float = 0.0,
              check_capacity: bool = True) -> tuple:

@@ -206,6 +206,37 @@ def _assemble_blocks(fill_b: jnp.ndarray, vals: jnp.ndarray,
     return grid.transpose(0, 3, 1, 4, 2, 5).reshape(res, res, res)
 
 
+def _fill_cascade_gather(c1: jnp.ndarray, c2: jnp.ndarray,
+                         idx1: jnp.ndarray, valid1: jnp.ndarray,
+                         nb1: int, nb2: int, r1: int,
+                         cap1: int) -> jnp.ndarray:
+    """b2-granularity fill cascade (c1 -> active-parent c2) as a GATHER.
+
+    Value-identical to the scatter form
+    (`c1[parent].at[sub_ids].set(c2)`), but TPU scatters serialize: the
+    nb2^3-row scatter measured ~2.4 ms at 256^3 (~15% of the whole
+    three-level program) and grows 8x at 512^3. Building the inverse
+    parent rank over the nb1^3 (= 4k at 256^3) parents — a tiny scatter
+    — and then gathering per b2 block is one fused pass over the
+    output, the same trick as _assemble_blocks' row gather.
+    """
+    inv1 = jnp.full((nb1 ** 3,), cap1, jnp.int32).at[
+        jnp.where(valid1, idx1, nb1 ** 3)].set(
+        jnp.arange(cap1, dtype=jnp.int32), mode="drop")
+    ax = jnp.arange(nb2, dtype=jnp.int32)
+    bx = ax // r1
+    parent = ((bx[:, None, None] * nb1 + bx[None, :, None]) * nb1
+              + bx[None, None, :]).reshape(-1)                # [nb2^3]
+    sx = ax % r1
+    slot = ((sx[:, None, None] * r1 + sx[None, :, None]) * r1
+            + sx[None, None, :]).reshape(-1)                  # [nb2^3]
+    rank = inv1[parent]
+    c2_pad = jnp.concatenate([c2, jnp.zeros((1, r1 ** 3), c2.dtype)], 0)
+    return jnp.where(rank < cap1,
+                     c2_pad[jnp.minimum(rank, cap1), slot],
+                     c1[parent])
+
+
 def unblock_grid(block_grid: np.ndarray, res: int, block: int) -> np.ndarray:
     """Host-side block-layout -> x-major [res,res,res] (numpy view ops)."""
     nb = res // block
@@ -347,12 +378,7 @@ def _decode_grid_hier2_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
 
     # ---- assemble at b2 granularity: parent b1-center fill, overwritten
     # by computed sub-centers where available, then fine block values.
-    bx = jnp.arange(nb2, dtype=jnp.int32) // r
-    parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
-        + bx[None, None, :]
-    fill2 = c1[parent.reshape(-1)]                             # [nb2^3]
-    fill2 = fill2.at[jnp.where(valid1[:, None], sub_ids, nb2 ** 3)
-                     .reshape(-1)].set(c2.reshape(-1), mode="drop")
+    fill2 = _fill_cascade_gather(c1, c2, idx1, valid1, nb1, nb2, r, cap1)
     dt = jnp.dtype(out_dtype)
     if dt != vals.dtype:
         # bf16 output grid: halves assembly + d2h traffic; near the iso
@@ -519,16 +545,33 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     vals2 = vals2.reshape(cap2, r2, r2, r2, b3, b3, b3)
     vals2 = vals2.transpose(0, 1, 4, 2, 5, 3, 6).reshape(cap2, b2 ** 3)
 
+    # ---- payload dtype: bf16 rounds (near-zero flips quantified in
+    # QUALITY.md); "int8" quantizes at tau2/127 with SIGN PRESERVATION —
+    # the reconstructed grid's sign pattern (hence the crossing set) is
+    # exactly the f32 payload's, and MC vertex interpolation shifts stay
+    # at the few-percent-of-a-voxel scale (tests/test_serve.py).
+    if out_dtype == "int8":
+        def conv(v):
+            q = jnp.clip(jnp.round(v * (127.0 / tau2)), -127.0, 127.0)
+            q = jnp.where((q == 0.0) & (v != 0.0), jnp.sign(v), q)
+            return q.astype(jnp.int8)
+    else:
+        dt = jnp.dtype(out_dtype)
+        conv = (lambda v: v.astype(dt)) if dt != jnp.float32 \
+            else (lambda v: v)
+    if layout == "sparse2":
+        # Compact serving payload: the coarse fill cascade ships at its
+        # NATIVE granularity — c1 [nb1^3] plus the active-parent c2 rows
+        # [cap1, r1^3] + idx1 [cap1] — instead of the expanded [nb2^3]
+        # fill2 (512 KB of bf16 at 256^3). The host rebuilds fill2 with
+        # two numpy scatters (sparse2_to_grid); values are identical, so
+        # reconstruction stays bit-equal to the "sparse" payload's.
+        return (conv(c1), conv(c2), idx1, conv(vals2), ids2), n1, n2, n3
+
     # ---- b2-granularity fill cascade (c1 -> c2), then row assembly
-    bx = jnp.arange(nb2, dtype=jnp.int32) // r1
-    parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
-        + bx[None, None, :]
-    fill2 = c1[parent.reshape(-1)]
-    fill2 = fill2.at[jnp.where(valid1[:, None], sub_ids, nb2 ** 3)
-                     .reshape(-1)].set(c2.reshape(-1), mode="drop")
-    dt = jnp.dtype(out_dtype)
-    if dt != vals2.dtype:
-        vals2, fill2 = vals2.astype(dt), fill2.astype(dt)
+    fill2 = _fill_cascade_gather(c1, c2, idx1, valid1, nb1, nb2, r1,
+                                 cap1)
+    vals2, fill2 = conv(vals2), conv(fill2)
     if layout == "sparse":
         # Serving-path output: skip assembly and hand back the compact
         # representation — fill2 [nb2^3] (b2-granularity coarse cascade),
@@ -553,6 +596,7 @@ def decode_grid_hierarchical3_device(apply_fn: ApplyFn, z: jnp.ndarray,
                                      out_dtype: str = "float32"):
     """Three-level on-device sparse decode (see _decode_grid_hier3_impl)."""
     assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    assert out_dtype != "int8", "int8 is a sparse-payload-only dtype"
     cap1 = min(cap1, (res // b1) ** 3)
     cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
     cap3 = min(cap3, cap2 * (b2 // b3) ** 3)
@@ -620,6 +664,99 @@ def decode_grid_hierarchical3_sparse(apply_fn: ApplyFn, z: jnp.ndarray,
                                       or stats["active_l2"] > cap2
                                       or stats["active_l3"] > cap3)
     return (fill2, vals2, ids2), stats
+
+
+def hier3_int8_scale(res: int, b2: int = 4, safety: float = 1.2) -> float:
+    """Quantization scale of the int8 sparse payload: tau2 of the decode
+    program (payload value = round(sdf * 127 / scale), sign-preserved).
+    Must be called with the same (res, b2, safety) as the decode."""
+    h = 2.0 / (res - 1)
+    return float(safety * (b2 * h * math.sqrt(3.0) / 2.0))
+
+
+def decode_grid_hierarchical3_sparse2(apply_fn: ApplyFn, z: jnp.ndarray,
+                                      res: int, b1: int = 16, b2: int = 4,
+                                      b3: int = 2, cap1: int = 3072,
+                                      cap2: int = 8192, cap3: int = 24576,
+                                      safety: float = 1.2,
+                                      safety3: float = 0.0,
+                                      check_overflow: bool = True,
+                                      out_dtype: str = "int8"):
+    """Three-level sparse decode, COMPACT v2 payload for serving.
+
+    Returns ((c1 [nb1^3], c2 [cap1, (b1/b2)^3], idx1 [cap1],
+    vals2 [cap2, b2^3], ids2 [cap2]), stats): the coarse fill cascade at
+    its native granularity instead of the expanded [nb2^3] fill2 of
+    decode_grid_hierarchical3_sparse, plus the same fine rows. Only the
+    first stats['active_l1'] rows of c2/idx1 and 'active_l2' rows of
+    vals2/ids2 are meaningful — callers (serve.serve_meshes) device-slice
+    to bucketed row counts before d2h, which is where the payload shrink
+    over the v1 format comes from (the v1 payload is cap-sized however
+    empty the shell is). out_dtype="int8" (default) quantizes values at
+    tau2/127 with sign preservation: the reconstructed crossing set is
+    exactly the f32 payload's (dequantize scale: hier3_int8_scale).
+    Reconstruct with sparse2_to_grid.
+    """
+    assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    cap1 = min(cap1, (res // b1) ** 3)
+    cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
+    cap3 = min(cap3, cap2 * (b2 // b3) ** 3)
+    arrs, n1, n2, n3 = _decode_grid_hier3_impl(
+        apply_fn, z, res, b1, b2, b3, cap1, cap2, cap3, safety=safety,
+        safety3=safety3, layout="sparse2", out_dtype=out_dtype)
+    stats = {"layout": "sparse2", "cap1": cap1, "cap2": cap2,
+             "cap3": cap3, "active_l1": n1, "active_l2": n2,
+             "active_l3": n3,
+             "payload_bytes": int(sum(a.nbytes for a in arrs)),
+             "effective_voxels": res ** 3}
+    if out_dtype == "int8":
+        stats["quant_scale"] = hier3_int8_scale(res, b2, safety)
+    if check_overflow:
+        stats["active_l1"] = int(n1)
+        stats["active_l2"] = int(n2)
+        stats["active_l3"] = int(n3)
+        stats["capacity_exceeded"] = (stats["active_l1"] > cap1
+                                      or stats["active_l2"] > cap2
+                                      or stats["active_l3"] > cap3)
+    return arrs, stats
+
+
+def sparse2_to_grid(c1, c2, idx1, vals2, ids2, n1: int, n2: int,
+                    res: int, b1: int, b2: int,
+                    dequant_scale: float = None,
+                    dtype=np.float32) -> np.ndarray:
+    """Host-side reconstruction of the compact v2 serving payload.
+
+    Rebuilds the b2-granularity fill cascade (c1 broadcast to b2 blocks,
+    active-parent c2 rows scattered over their sub-block ids — the numpy
+    mirror of the device-side cascade in _decode_grid_hier3_impl), then
+    defers to sparse_to_grid. Bit-equal to the v1 payload path for the
+    same program. int8 payloads require `dequant_scale`
+    (= hier3_int8_scale of the decode's (res, b2, safety))."""
+    r1 = b1 // b2
+    nb1, nb2 = res // b1, res // b2
+
+    def deq(a):
+        a = np.asarray(a)
+        if a.dtype == np.int8:
+            assert dequant_scale is not None, \
+                "int8 payload needs dequant_scale (hier3_int8_scale)"
+            return a.astype(np.float32) * (dequant_scale / 127.0)
+        return a
+
+    bx = np.arange(nb2, dtype=np.int64) // r1
+    parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
+        + bx[None, None, :]
+    fill2 = np.asarray(deq(c1), dtype)[parent.reshape(-1)].copy()
+    i1 = np.asarray(idx1[:n1]).astype(np.int64)
+    x1, y1, z1 = i1 // (nb1 * nb1), (i1 // nb1) % nb1, i1 % nb1
+    off = np.arange(r1 ** 3, dtype=np.int64)
+    ox, oy, oz = off // (r1 * r1), (off // r1) % r1, off % r1
+    sub = ((x1[:, None] * r1 + ox[None, :]) * nb2
+           + (y1[:, None] * r1 + oy[None, :])) * nb2 \
+        + (z1[:, None] * r1 + oz[None, :])
+    fill2[sub.reshape(-1)] = np.asarray(deq(c2[:n1]), dtype).reshape(-1)
+    return sparse_to_grid(fill2, deq(vals2), ids2, n2, res, b2, dtype)
 
 
 def sparse_to_grid(fill2: np.ndarray, vals2: np.ndarray, ids2: np.ndarray,

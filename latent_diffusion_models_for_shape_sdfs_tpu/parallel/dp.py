@@ -105,17 +105,20 @@ def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
 def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
                              caps: tuple, safety: float = 1.2,
                              safety3: float = 2.0,
-                             out_dtype: str = "bfloat16"):
+                             out_dtype: str = "int8"):
     """Jitted zs [batch, L] -> sparse serving payloads, shape axis sharded.
 
     Mesh-serving scale-out: each device runs the three-level sparse
-    decode (ops.grid_eval._decode_grid_hier3_impl, layout="sparse") for
+    decode (ops.grid_eval._decode_grid_hier3_impl, layout="sparse2") for
     its shard of the latent batch — embarrassingly parallel, the only
-    communication is the initial batch scatter. Returns
-    ((fill2 [batch, nb2^3], vals2 [batch, cap2, b2^3], ids2 [batch,
-    cap2]), (n1, n2, n3) each [batch]); all outputs stay sharded on the
-    shape axis, so a host consumer pulling shape i's payload touches one
+    communication is the initial batch scatter. Returns the compact v2
+    payload ((c1 [batch, nb1^3], c2 [batch, cap1, (b1/b2)^3], idx1
+    [batch, cap1], vals2 [batch, cap2, b2^3], ids2 [batch, cap2]),
+    (n1, n2, n3) each [batch]); all outputs stay sharded on the shape
+    axis, so a host consumer pulling shape i's payload touches one
     device. batch % mesh.size == 0 is the caller's contract.
+    out_dtype="int8" (default) is the sign-preserving quantized payload
+    (dequantize scale: ops.grid_eval.hier3_int8_scale).
     """
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
         _MAX_POINTS_PER_GROUP, _decode_grid_hier3_impl)
@@ -125,18 +128,19 @@ def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
     ppg = max(8, _MAX_POINTS_PER_GROUP // local)
 
     def one(zz):
-        (f2, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
+        (c1, c2, i1, v2, i2), n1, n2, n3 = _decode_grid_hier3_impl(
             apply_fn, zz, res, 16, 4, 2, cap1, cap2, cap3,
-            safety=safety, safety3=safety3, layout="sparse",
+            safety=safety, safety3=safety3, layout="sparse2",
             points_per_group=ppg, out_dtype=out_dtype)
-        return (f2, v2, i2), (n1, n2, n3)
+        return (c1, c2, i1, v2, i2), (n1, n2, n3)
 
     sh1 = batch_sharded(mesh, 1)
     sh2 = batch_sharded(mesh, 2)
     sh3 = batch_sharded(mesh, 3)
     return jax.jit(jax.vmap(one),
                    in_shardings=(sh2,),
-                   out_shardings=((sh2, sh3, sh2), (sh1, sh1, sh1)))
+                   out_shardings=((sh2, sh3, sh2, sh3, sh2),
+                                  (sh1, sh1, sh1)))
 
 
 def decode_grid_sharded(apply_fn, z: jnp.ndarray, res: int, mesh: Mesh,

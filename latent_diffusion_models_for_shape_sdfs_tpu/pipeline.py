@@ -254,17 +254,19 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
     if sc.hierarchical and res >= 64 and res % 16 == 0:
         # production serving path: all decodes enqueued up front, only
         # near-surface blocks cross to the host (serve.serve_meshes).
-        # The bf16 sparse payload reconstructs the same hierarchy as
-        # decode_grid_adaptive (same safety/caps/escalation); bf16-vs-f32
-        # crossing fidelity is quantified in QUALITY.md (identical
-        # missed-crossing sets at 256^3 on a trained decoder). In the
-        # fp32 lineage-parity mode (compute_dtype float32) the payload
-        # stays f32 so sampling matches the dense decode bitwise.
+        # The sparse payload reconstructs the same hierarchy as
+        # decode_grid_adaptive (same safety/caps/escalation); the int8
+        # payload preserves the program's crossing set exactly
+        # (sign-preserving quantization, ops.grid_eval
+        # decode_grid_hierarchical3_sparse2) and is ~6x less d2h than
+        # the dense-cap bf16 payload. In the fp32 lineage-parity mode
+        # (compute_dtype float32) the payload stays f32 so sampling
+        # matches the dense decode bitwise.
         from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
             serve_meshes)
         payload_dtype = ("float32"
                          if cfg.ad.decoder.compute_dtype == "float32"
-                         else "bfloat16")
+                         else "int8")
         for i, (v, f, _st) in enumerate(serve_meshes(
                 apply_fn, list(zs), res=res, iso=sc.iso_level,
                 out_dtype=payload_dtype)):

@@ -26,7 +26,8 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-    decode_grid_hierarchical3_sparse, sparse_to_grid)
+    decode_grid_hierarchical3_sparse, decode_grid_hierarchical3_sparse2,
+    hier3_int8_scale, sparse_to_grid, sparse2_to_grid)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
     extract_mesh)
 
@@ -38,64 +39,79 @@ def _default_caps(res: int) -> tuple:
             max(8192, res ** 2))
 
 
+def _bucket(n: int, cap: int) -> int:
+    """Smallest of {cap >> 5 .. cap} (power-of-two ladder, floor 256)
+    holding n rows. The shipped payload is sliced to a BUCKET rather
+    than exactly n so the relay/compile cache sees at most ~6 distinct
+    slice-program shapes per capacity instead of one per shape."""
+    b = cap
+    while b // 2 >= max(256, n):
+        b //= 2
+    return min(b, cap)
+
+
 def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                  safety: float = 1.2, safety3: float = 2.0,
                  iso: float = 0.0, caps: Optional[tuple] = None,
-                 max_escalations: int = 4, out_dtype: str = "bfloat16",
+                 max_escalations: int = 4, out_dtype: str = "int8",
                  mesh_workers: int = 4) -> Iterator[tuple]:
     """Yield (verts, faces, stats) for each latent in `latents`.
 
     `apply_fn`: ops.grid_eval ApplyFn ((z, xyz[N,3]) -> sdf[N]), e.g.
     ops.pallas_kernels.make_pallas_apply(decoder, params).
 
-    Every decode ships only near-surface blocks + the coarse fill
-    cascade; a shape whose surface shell overflows the capacities is
-    re-decoded synchronously with doubled caps (same escalation policy
-    as ops.grid_eval.decode_grid_adaptive). If the escalation budget is
+    Every decode ships the compact v2 payload (coarse cascade at native
+    granularity + near-surface fine rows), with the row arrays
+    device-sliced to the smallest power-of-two bucket holding the
+    shape's ACTIVE counts before d2h — the cap-sized v1 payload shipped
+    ~2.6 MB/shape at 256^3 regardless of how empty the shell was; the
+    bucketed v2 int8 payload is ~0.4 MB for the same shape, and the
+    throttled host link is what bounds end-to-end serving. A shape
+    whose shell overflows the capacities is re-decoded synchronously
+    with fitted caps (same escalation policy as
+    ops.grid_eval.decode_grid_adaptive). If the escalation budget is
     exhausted with counts still above caps, the mesh is built from the
     truncated payload and the yielded stats carry
     ``capacity_exceeded=True`` plus the final ``cap1/cap2/cap3``.
 
-    `out_dtype`: payload dtype ("bfloat16" halves d2h traffic; pass
-    "float32" for the fp32 lineage-parity mode — crossing impact of
-    bf16 is quantified in QUALITY.md). `mesh_workers` > 1 overlaps the
-    host grid-reconstruction + marching-cubes across shapes (results
-    still yield in input order); 1 restores fully serial hosting.
+    `out_dtype`: payload dtype. "int8" (default) quantizes at tau2/127
+    with sign preservation — the crossing set is exactly the f32
+    payload's (ops.grid_eval.decode_grid_hierarchical3_sparse2), vertex
+    shifts are a few percent of a voxel; "bfloat16" is the round-2
+    payload (crossing impact in QUALITY.md); pass "float32" for the
+    fp32 lineage-parity mode (bit-equal to the dense decode's
+    hierarchy). `mesh_workers` > 1 overlaps the host
+    grid-reconstruction + marching-cubes across shapes (results still
+    yield in input order); 1 restores fully serial hosting.
     """
     import jax.numpy as jnp
 
     cap1, cap2, cap3 = caps or _default_caps(res)
+    dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None
     # enqueue every decode before consuming any payload (async dispatch)
-    pending = [decode_grid_hierarchical3_sparse(
+    pending = [decode_grid_hierarchical3_sparse2(
         apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
         safety=safety, safety3=safety3, out_dtype=out_dtype,
         check_overflow=False) for z in latents]
 
-    # start the NEXT payload's d2h while the host reconstructs/meshes the
-    # current one — on a throttled host link the transfer is the
-    # per-shape bottleneck, and copy_to_host_async overlaps it with the
-    # marching-cubes work at zero thread cost.
-    for (arrs, _st) in pending:
-        for a in arrs:
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-
-    def mesh_job(fill2, vals2, ids2, n1, n2, n3, c1, c2, c3, esc):
-        grid = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
-                              np.asarray(ids2), min(n2, c2), res, 4)
+    def mesh_job(c1a, c2a, idx1, vals2, ids2, n1, n2, n3, c1, c2, c3,
+                 esc):
+        grid = sparse2_to_grid(c1a, c2a, idx1, vals2, ids2,
+                               min(n1, c1), min(n2, c2), res, 16, 4,
+                               dequant_scale=dq)
         verts, faces = extract_mesh(grid, iso=iso)
         return verts, faces, {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
             "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
             "capacity_exceeded": n1 > c1 or n2 > c2 or n3 > c3,
-            "payload_bytes": int(np.asarray(fill2).nbytes
-                                 + np.asarray(vals2).nbytes
-                                 + np.asarray(ids2).nbytes)}
+            "payload_bytes": int(sum(np.asarray(a).nbytes for a in
+                                     (c1a, c2a, idx1, vals2, ids2)))}
 
     def jobs():
         # escalation decodes stay on this (main) thread — one process,
         # one serialized device stream; only host meshing fans out.
-        for z, ((fill2, vals2, ids2), stats) in zip(latents, pending):
+        for z, ((c1a, c2a, idx1, vals2, ids2), stats) in zip(latents,
+                                                             pending):
             c1, c2, c3 = cap1, cap2, cap3
             n1 = int(stats["active_l1"])
             n2 = int(stats["active_l2"])
@@ -112,15 +128,25 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                     return max(2 * c, -(-int(1.25 * n) // 128) * 128) \
                         if n > c else c
                 c1, c2, c3 = fit(c1, n1), fit(c2, n2), fit(c3, n3)
-                (fill2, vals2, ids2), st = \
-                    decode_grid_hierarchical3_sparse(
+                (c1a, c2a, idx1, vals2, ids2), st = \
+                    decode_grid_hierarchical3_sparse2(
                         apply_fn, jnp.asarray(z), res, 16, 4, 2,
                         c1, c2, c3, safety=safety, safety3=safety3,
                         out_dtype=out_dtype, check_overflow=True)
                 n1, n2, n3 = (st["active_l1"], st["active_l2"],
                               st["active_l3"])
                 esc += 1
-            yield (fill2, vals2, ids2, n1, n2, n3, c1, c2, c3, esc)
+            # device-side slice to row buckets, then start the d2h so
+            # the NEXT shape's transfer overlaps this one's meshing
+            k1 = _bucket(n1, c1)
+            k2 = _bucket(n2, c2)
+            c2a, idx1, vals2, ids2 = (c2a[:k1], idx1[:k1],
+                                      vals2[:k2], ids2[:k2])
+            for a in (c1a, c2a, idx1, vals2, ids2):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            yield (c1a, c2a, idx1, vals2, ids2, n1, n2, n3,
+                   c1, c2, c3, esc)
 
     if mesh_workers <= 1:
         for job in jobs():
@@ -136,15 +162,15 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                          res: int = 256, safety: float = 1.2,
                          safety3: float = 2.0, iso: float = 0.0,
                          caps: Optional[tuple] = None,
-                         out_dtype: str = "bfloat16") -> Iterator[tuple]:
+                         out_dtype: str = "int8") -> Iterator[tuple]:
     """serve_meshes scaled over a jax.sharding.Mesh: the latent batch is
     sharded across devices (parallel.dp.make_dp_sparse_decode_fn), each
-    device computes sparse payloads for its shapes, and the host streams
-    reconstruction + marching cubes shape by shape. Shapes whose surface
-    shell overflows the shared capacities are re-decoded through the
-    single-device escalation path (rare; capacities are surface-shell
-    scale). Yields (verts, faces, stats) in input order; the latent list
-    is padded to a multiple of mesh.size internally.
+    device computes compact v2 payloads for its shapes, and the host
+    streams reconstruction + marching cubes shape by shape. Shapes whose
+    surface shell overflows the shared capacities are re-decoded through
+    the single-device escalation path (rare; capacities are
+    surface-shell scale). Yields (verts, faces, stats) in input order;
+    the latent list is padded to a multiple of mesh.size internally.
     """
     import jax.numpy as jnp
 
@@ -152,6 +178,7 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
         return
 
     cap1, cap2, cap3 = caps or _default_caps(res)
+    dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None
     from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
         make_dp_sparse_decode_fn)
 
@@ -163,21 +190,27 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
     fn = make_dp_sparse_decode_fn(apply_fn, res, len(zs), mesh,
                                   (cap1, cap2, cap3), safety, safety3,
                                   out_dtype=out_dtype)
-    (f2, v2, i2), (n1, n2, n3) = fn(jnp.asarray(zs))
+    (c1a, c2a, i1, v2, i2), (n1, n2, n3) = fn(jnp.asarray(zs))
     n1, n2, n3 = (np.asarray(x) for x in (n1, n2, n3))
+    # row buckets shared by the whole batch (one slice program, sliced
+    # at the max active shape), cols stay device-resident per shard
+    k1 = _bucket(int(n1[:n_shapes].max()), cap1)
+    k2 = _bucket(int(n2[:n_shapes].max()), cap2)
+    c2a, i1, v2, i2 = c2a[:, :k1], i1[:, :k1], v2[:, :k2], i2[:, :k2]
 
     def mesh_job(i):
-        grid = sparse_to_grid(np.asarray(f2[i]), np.asarray(v2[i]),
-                              np.asarray(i2[i]), int(n2[i]), res, 4)
+        grid = sparse2_to_grid(c1a[i], c2a[i], i1[i], v2[i], i2[i],
+                               min(int(n1[i]), cap1),
+                               min(int(n2[i]), cap2), res, 16, 4,
+                               dequant_scale=dq)
         verts, faces = extract_mesh(grid, iso=iso)
         return verts, faces, {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,
             "cap1": cap1, "cap2": cap2, "cap3": cap3,
             "capacity_exceeded": False,
-            "payload_bytes": int(np.asarray(f2[i]).nbytes
-                                 + np.asarray(v2[i]).nbytes
-                                 + np.asarray(i2[i]).nbytes)}
+            "payload_bytes": int(sum(np.asarray(a[i]).nbytes for a in
+                                     (c1a, c2a, i1, v2, i2)))}
 
     # host meshing overlapped across shapes; escalation re-decodes (rare)
     # stay on this thread — one serialized device stream.

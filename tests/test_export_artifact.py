@@ -40,9 +40,10 @@ def test_artifact_needs_no_model_code(tmp_path):
     art = load_decode_program(blob)
     g = art.grid(np.asarray([0.0, 0.0], np.float32))
     r = 0.3
-    # center voxel inside, corner far outside
+    # center voxel inside, corner far outside (int8 payload clamps
+    # far-field magnitudes to tau2 — sign is what marching cubes needs)
     assert g[32, 32, 32] < 0
-    assert g[0, 0, 0] > 1.0
+    assert g[0, 0, 0] > 0.1
     # surface radius about right via the zero level on the x axis
     xs = np.linspace(-1, 1, 64)
     row = g[:, 32, 32]

@@ -172,12 +172,15 @@ def test_dp_sparse_serving_shardings(amesh, batch_axes):
                                   (cap1, cap2, cap3))
     zs = jax.ShapeDtypeStruct((S, L), jnp.float32)
     txt = _lower_tpu(fn, zs)
-    nb2 = res // 4
+    nb1 = res // 16
     assert _has_annot(txt, f"{S}x{L}xf32", f"[{batch_axes}, {{}}]"), \
         "latent batch not sharded"
-    assert _has_annot(txt, f"{S}x{nb2 ** 3}xbf16",
-                      f"[{batch_axes}, {{}}]"), "fill cascade not sharded"
-    assert _has_annot(txt, f"{S}x{cap2}x64xbf16",
+    assert _has_annot(txt, f"{S}x{nb1 ** 3}xi8",
+                      f"[{batch_axes}, {{}}]"), "coarse cascade not sharded"
+    assert _has_annot(txt, f"{S}x{cap1}x64xi8",
+                      f"[{batch_axes}, {{}}, {{}}]"), \
+        "c2 cascade rows not sharded"
+    assert _has_annot(txt, f"{S}x{cap2}x64xi8",
                       f"[{batch_axes}, {{}}, {{}}]"), \
         "payload rows not sharded"
     assert _has_annot(txt, f"{S}x{cap2}xi32", f"[{batch_axes}, {{}}]"), \

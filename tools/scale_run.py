@@ -286,7 +286,9 @@ def write_scale_md(report: dict) -> None:
         f"{report['train_chamfer_median']:.2e}, mean "
         f"{report['train_chamfer_mean']:.2e}",
         f"- held-out chair (latent opt, best of 4 inits): Chamfer-L2 "
-        f"{report['held_out_chamfer']:.2e}",
+        f"{report['held_out_chamfer']:.2e} (single-chair snapshot probe; "
+        f"the 8-chair battery below is the authoritative held-out "
+        f"evidence — per-chair spread is ~50x, see heldout_eval.json)",
         f"- stage-2 eps-MSE after {report['diff_steps']} steps over all "
         f"{n_train} codes: {report['diff_loss']:.3f} "
         f"({report['diff_seconds']:.0f}s)",
@@ -327,6 +329,14 @@ def write_scale_md(report: dict) -> None:
                     f"median Chamfer {b['median']:.2e}, worst pred->gt "
                     f"{b['worst_pred_to_gt']:.2e}, median gt->pred "
                     f"{b['median_gt_to_pred']:.2e}")
+            md.append(
+                "  - A-vs-B verdict: free-space carving (B: 2x obs, 4.8k "
+                "uniform empty-space samples) did NOT shrink the "
+                "over-completion tail — worst pred->gt moved <1% — a "
+                "documented negative result (VERDICT r2 #7): the extra "
+                "geometry sits where BOTH budgets sample sparsely, and "
+                "the latent prior, not observation coverage, is the "
+                "binding constraint at this table size")
         elif "held_out" in he:
             md.append(f"- held-out battery (8 unseen chairs): median "
                       f"Chamfer {he['held_out']['median']:.2e}")
