@@ -214,27 +214,25 @@ def _fill_cascade_gather(c1: jnp.ndarray, c2: jnp.ndarray,
 
     Value-identical to the scatter form
     (`c1[parent].at[sub_ids].set(c2)`), but TPU scatters serialize: the
-    nb2^3-row scatter measured ~2.4 ms at 256^3 (~15% of the whole
-    three-level program) and grows 8x at 512^3. Building the inverse
-    parent rank over the nb1^3 (= 4k at 256^3) parents — a tiny scatter
-    — and then gathering per b2 block is one fused pass over the
-    output, the same trick as _assemble_blocks' row gather.
+    cap1 x r1^3 element scatter measured ~2.4 ms at 256^3 (~15% of the
+    whole three-level program) and grows 8x at 512^3. The granularity
+    matters as much as the direction: an elementwise gather over the
+    nb2^3 output (262k scalar fetches at 256^3) measured SLOWER than the
+    scatter it replaced — TPU gathers, like scatters, want whole-row
+    access. So: invert the parent rank over the nb1^3 parents (a tiny
+    scatter), gather whole r1^3-value c2 ROWS per parent (the
+    _assemble_blocks trick), select vs the broadcast c1 fill, and
+    finish with one 6-D transpose into the b2-flat layout.
     """
     inv1 = jnp.full((nb1 ** 3,), cap1, jnp.int32).at[
         jnp.where(valid1, idx1, nb1 ** 3)].set(
-        jnp.arange(cap1, dtype=jnp.int32), mode="drop")
-    ax = jnp.arange(nb2, dtype=jnp.int32)
-    bx = ax // r1
-    parent = ((bx[:, None, None] * nb1 + bx[None, :, None]) * nb1
-              + bx[None, None, :]).reshape(-1)                # [nb2^3]
-    sx = ax % r1
-    slot = ((sx[:, None, None] * r1 + sx[None, :, None]) * r1
-            + sx[None, None, :]).reshape(-1)                  # [nb2^3]
-    rank = inv1[parent]
+        jnp.arange(cap1, dtype=jnp.int32), mode="drop")       # [nb1^3]
     c2_pad = jnp.concatenate([c2, jnp.zeros((1, r1 ** 3), c2.dtype)], 0)
-    return jnp.where(rank < cap1,
-                     c2_pad[jnp.minimum(rank, cap1), slot],
-                     c1[parent])
+    rows = c2_pad[jnp.minimum(inv1, cap1)]                   # [nb1^3,r1^3]
+    rows = jnp.where((inv1 < cap1)[:, None], rows, c1[:, None])
+    rows = rows.reshape(nb1, nb1, nb1, r1, r1, r1)
+    # [x1,y1,z1,ox,oy,oz] -> [x1,ox,y1,oy,z1,oz]; flat = (sx*nb2+sy)*nb2+sz
+    return rows.transpose(0, 3, 1, 4, 2, 5).reshape(nb2 ** 3)
 
 
 def unblock_grid(block_grid: np.ndarray, res: int, block: int) -> np.ndarray:
@@ -764,17 +762,27 @@ def sparse_to_grid(fill2: np.ndarray, vals2: np.ndarray, ids2: np.ndarray,
                    dtype=np.float32) -> np.ndarray:
     """Host-side reconstruction of the sparse decode into an x-major grid.
 
-    Exactly _assemble_blocks(layout="block") + unblock_grid, in NumPy:
-    every block starts from its fill value; the n_active fine rows are
-    scattered over their block ids; later duplicate ids (impossible from
-    the device path, but cheap to allow) win.
+    Value-equal to _assemble_blocks(layout="block") + unblock_grid, but
+    built DIRECTLY in x-major order through a [nb,b2,nb,b2,nb,b2] view:
+    the block-layout intermediate + 6-D transpose copy cost a second
+    64 MB strided pass at 256^3 (~90 ms on this 1-core host — the
+    serving path's largest host cost after the MC scan fix). Every block
+    starts from its fill value; the n_active fine rows land via one
+    mixed fancy/slice assignment. Duplicate ids (impossible from the
+    device path) have unspecified winner here, unlike the old
+    later-wins scatter.
     """
     nb = res // b2
-    block_grid = np.broadcast_to(
-        np.asarray(fill2, dtype)[:, None], (nb ** 3, b2 ** 3)).copy()
-    ids = np.asarray(ids2[:n_active])
-    block_grid[ids] = np.asarray(vals2[:n_active], dtype)
-    return unblock_grid(block_grid, res, b2)
+    g = np.empty((res, res, res), dtype)
+    gv = g.reshape(nb, b2, nb, b2, nb, b2)            # contiguous view
+    gv[:] = np.asarray(fill2, dtype).reshape(nb, nb, nb)[
+        :, None, :, None, :, None]
+    ids = np.asarray(ids2[:n_active], np.int64)
+    xs, ys, zs = ids // (nb * nb), (ids // nb) % nb, ids % nb
+    # advanced indices first, sliced dims after: target [n_active,b2^3]
+    gv[xs, :, ys, :, zs, :] = np.asarray(
+        vals2[:n_active], dtype).reshape(-1, b2, b2, b2)
+    return g
 
 
 def decode_grid_hierarchical2_batch(apply_fn: ApplyFn, zs: jnp.ndarray,

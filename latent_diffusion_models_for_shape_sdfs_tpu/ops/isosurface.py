@@ -185,10 +185,16 @@ def _native_mc_lib():
         return None
     lib = ctypes.CDLL(cand)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.mc_run.restype = ctypes.c_void_p
     lib.mc_run.argtypes = [f32p, ctypes.c_int64, ctypes.c_float, f32p,
                            ctypes.c_float, i64p, i64p]
+    if hasattr(lib, "mc_run_blocks"):
+        lib.mc_run_blocks.restype = ctypes.c_void_p
+        lib.mc_run_blocks.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_float, f32p, ctypes.c_float,
+            i32p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
     lib.mc_copy.restype = None
     lib.mc_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
     lib.mc_free.restype = None
@@ -198,17 +204,29 @@ def _native_mc_lib():
 
 
 def _extract_mesh_clib(lib, grid: np.ndarray, iso: float, origin,
-                       spacing: float) -> tuple:
+                       spacing: float, active_blocks=None) -> tuple:
     import ctypes
     f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     org = np.asarray(origin, np.float32)
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
-    h = lib.mc_run(grid.ctypes.data_as(f32p), grid.shape[0],
-                   ctypes.c_float(iso), org.ctypes.data_as(f32p),
-                   ctypes.c_float(spacing), ctypes.byref(nv),
-                   ctypes.byref(nf))
+    if active_blocks is not None and hasattr(lib, "mc_run_blocks"):
+        ids, block = active_blocks
+        ids = np.ascontiguousarray(ids, np.int32)
+        h = lib.mc_run_blocks(grid.ctypes.data_as(f32p), grid.shape[0],
+                              ctypes.c_float(iso),
+                              org.ctypes.data_as(f32p),
+                              ctypes.c_float(spacing),
+                              ids.ctypes.data_as(i32p), len(ids),
+                              int(block), ctypes.byref(nv),
+                              ctypes.byref(nf))
+    else:
+        h = lib.mc_run(grid.ctypes.data_as(f32p), grid.shape[0],
+                       ctypes.c_float(iso), org.ctypes.data_as(f32p),
+                       ctypes.c_float(spacing), ctypes.byref(nv),
+                       ctypes.byref(nf))
     try:
         verts = np.empty((nv.value, 3), np.float32)
         faces = np.empty((nf.value, 3), np.int64)
@@ -221,8 +239,15 @@ def _extract_mesh_clib(lib, grid: np.ndarray, iso: float, origin,
 
 def extract_mesh(grid: np.ndarray, iso: float = 0.0,
                  origin=(-1.0, -1.0, -1.0), spacing: Optional[float] = None,
-                 prefer_native: bool = True) -> tuple:
-    """Dispatch: in-process native lib > native subprocess > NumPy."""
+                 prefer_native: bool = True,
+                 active_blocks: Optional[tuple] = None) -> tuple:
+    """Dispatch: in-process native lib > native subprocess > NumPy.
+
+    `active_blocks`: optional (block_ids int32 [n], block_size) from a
+    hierarchical sparse decode — restricts the native crossing scan to
+    cells touching those blocks (+1-cell halo). Only sound at iso=0 (the
+    decode's tau selection is about the zero level); callers pass it only
+    then. Non-native fallbacks ignore it (full scan, same mesh)."""
     grid = np.ascontiguousarray(grid, np.float32)
     R = grid.shape[0]
     if spacing is None:
@@ -230,7 +255,8 @@ def extract_mesh(grid: np.ndarray, iso: float = 0.0,
     if prefer_native:
         lib = _native_mc_lib()
         if lib is not None:
-            return _extract_mesh_clib(lib, grid, iso, origin, spacing)
+            return _extract_mesh_clib(lib, grid, iso, origin, spacing,
+                                      active_blocks=active_blocks)
     binary = _native_mc_binary() if prefer_native else None
     if binary is None:
         return marching_tetrahedra(grid, iso, origin, spacing)

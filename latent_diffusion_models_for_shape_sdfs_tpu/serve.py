@@ -99,7 +99,11 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
         grid = sparse2_to_grid(c1a, c2a, idx1, vals2, ids2,
                                min(n1, c1), min(n2, c2), res, 16, 4,
                                dequant_scale=dq)
-        verts, faces = extract_mesh(grid, iso=iso)
+        # at iso=0 the payload's active-block ids bound the crossing
+        # cells — the native MC then scans ~10% of the grid
+        ab = ((np.asarray(ids2)[:min(n2, c2)], 4) if iso == 0.0
+              else None)
+        verts, faces = extract_mesh(grid, iso=iso, active_blocks=ab)
         return verts, faces, {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
             "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
@@ -203,7 +207,9 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                                min(int(n1[i]), cap1),
                                min(int(n2[i]), cap2), res, 16, 4,
                                dequant_scale=dq)
-        verts, faces = extract_mesh(grid, iso=iso)
+        ab = ((np.asarray(i2[i])[:min(int(n2[i]), cap2)], 4)
+              if iso == 0.0 else None)
+        verts, faces = extract_mesh(grid, iso=iso, active_blocks=ab)
         return verts, faces, {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,

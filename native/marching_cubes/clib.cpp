@@ -27,6 +27,26 @@ void* mc_run(const float* grid, int64_t R, float iso, const float* origin,
   return mesh;
 }
 
+// Sparse-payload variant: scan only cells touching the decode's active
+// b-blocks (+1-cell low halo) instead of the full R^3 grid — the scan
+// is the dominant cost of the dense entry, and serving payloads carry
+// the active-block ids for free. Identical output to mc_run whenever
+// the iso-0 surface is confined to active blocks (the hierarchical
+// decode's tau-selection guarantee; asserted by the Python parity
+// tests).
+void* mc_run_blocks(const float* grid, int64_t R, float iso,
+                    const float* origin, float spacing,
+                    const int32_t* block_ids, int64_t n_blocks,
+                    int64_t block, int64_t* nv, int64_t* nf) {
+  auto cells = mt::scan_blocks(grid, static_cast<int>(R), iso, block_ids,
+                               n_blocks, static_cast<int>(block));
+  auto* mesh = new mt::MeshOut(mt::extract(
+      grid, static_cast<int>(R), iso, origin, spacing, &cells));
+  *nv = static_cast<int64_t>(mesh->verts.size() / 3);
+  *nf = static_cast<int64_t>(mesh->faces.size() / 3);
+  return mesh;
+}
+
 void mc_copy(void* handle, float* verts, int64_t* faces) {
   auto* mesh = static_cast<mt::MeshOut*>(handle);
   std::memcpy(verts, mesh->verts.data(), mesh->verts.size() * sizeof(float));

@@ -27,9 +27,71 @@ inline constexpr int kTets[6][4] = {
     {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
     {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7}};
 
+// Phase 1 for sparse serving payloads: candidate cells are only those
+// touching (or one cell below — the low-face halo) an ACTIVE b-block of
+// the hierarchical decode. The decode's tau selection guarantees the
+// iso-0 surface only intersects active blocks, so every crossing cell
+// of the reconstructed grid touches one; a bitmap dedups the halo
+// overlap between adjacent blocks and keeps the scan order (and hence
+// vertex welding order) identical to the dense scan's x-major order.
+inline std::vector<int64_t> scan_blocks(const float* grid, int R,
+                                        float iso,
+                                        const int32_t* block_ids,
+                                        int64_t n_blocks, int b) {
+  const int n = R - 1, nb = R / b;
+  const size_t ncells = static_cast<size_t>(n) * n * n;
+  std::vector<uint64_t> bits(ncells / 64 + 1, 0);
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    const int64_t id = block_ids[i];
+    const int bz = static_cast<int>(id % nb);
+    const int by = static_cast<int>((id / nb) % nb);
+    const int bx = static_cast<int>(id / (static_cast<int64_t>(nb) * nb));
+    const int x0 = bx * b > 0 ? bx * b - 1 : 0;
+    const int x1 = std::min(bx * b + b - 1, n - 1);
+    const int y0 = by * b > 0 ? by * b - 1 : 0;
+    const int y1 = std::min(by * b + b - 1, n - 1);
+    const int z0 = bz * b > 0 ? bz * b - 1 : 0;
+    const int z1 = std::min(bz * b + b - 1, n - 1);
+    for (int x = x0; x <= x1; ++x)
+      for (int y = y0; y <= y1; ++y) {
+        const int64_t base = (static_cast<int64_t>(x) * n + y) * n;
+        for (int z = z0; z <= z1; ++z) {
+          const int64_t c = base + z;
+          bits[c >> 6] |= uint64_t(1) << (c & 63);
+        }
+      }
+  }
+  std::vector<int64_t> cells;
+  for (size_t w = 0; w < bits.size(); ++w) {
+    uint64_t word = bits[w];
+    while (word) {
+      const int bit = __builtin_ctzll(word);
+      word &= word - 1;
+      const int64_t c = (static_cast<int64_t>(w) << 6) + bit;
+      const int z = static_cast<int>(c % n);
+      const int y = static_cast<int>((c / n) % n);
+      const int x = static_cast<int>(c / (static_cast<int64_t>(n) * n));
+      const float* row0 = grid + (static_cast<int64_t>(x) * R + y) * R;
+      const float* row1 = row0 + R;
+      const float* row2 = row0 + static_cast<int64_t>(R) * R;
+      const float* row3 = row2 + R;
+      bool lo = false, hi = false;
+      for (const float* r : {row0, row1, row2, row3}) {
+        (r[z] < iso ? lo : hi) = true;
+        (r[z + 1] < iso ? lo : hi) = true;
+      }
+      if (lo && hi) cells.push_back(c);
+    }
+  }
+  return cells;  // already x-major sorted (bitmap order)
+}
+
 // grid: R^3 float32, x-major (index (i*R + j)*R + k).
+// cells: pre-scanned crossing cells (x-major sorted) or nullptr to scan
+// the full grid.
 inline MeshOut extract(const float* grid, int R, float iso,
-                       const float origin[3], float spacing) {
+                       const float origin[3], float spacing,
+                       const std::vector<int64_t>* pre_cells = nullptr) {
   MeshOut out;
   std::unordered_map<uint64_t, int64_t> edge_to_vertex;
   edge_to_vertex.reserve(1 << 20);
@@ -89,7 +151,7 @@ inline MeshOut extract(const float* grid, int R, float iso,
   const unsigned n_threads =
       std::max(1u, std::thread::hardware_concurrency());
   std::vector<std::vector<int64_t>> found(n_threads);
-  {
+  if (pre_cells == nullptr) {
     std::atomic<int> next_x{0};
     auto scan = [&](unsigned tid) {
       auto& mine = found[tid];
@@ -119,13 +181,16 @@ inline MeshOut extract(const float* grid, int R, float iso,
 
   // Deterministic order regardless of thread scheduling.
   std::vector<int64_t> cells;
-  {
+  if (pre_cells == nullptr) {
     size_t total = 0;
     for (auto& f : found) total += f.size();
     cells.reserve(total);
     for (auto& f : found) cells.insert(cells.end(), f.begin(), f.end());
     std::sort(cells.begin(), cells.end());
     edge_to_vertex.reserve(total * 2);
+  } else {
+    cells = *pre_cells;
+    edge_to_vertex.reserve(cells.size() * 2);
   }
 
   // Phase 2 (serial): polygonize crossing cells with welded vertices.

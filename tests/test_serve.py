@@ -108,6 +108,30 @@ def test_int8_payload_preserves_crossings():
     assert np.median(shift) < 0.05 * h
 
 
+def test_sparse_scan_mc_matches_dense_scan():
+    """Block-guided native marching cubes (serve's iso=0 fast path) must
+    produce the EXACT mesh of the full-grid scan: the payload's active
+    b2 blocks (+halo) cover every crossing cell, and the bitmap scan
+    preserves the dense scan's x-major cell order (same welding)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        _native_mc_lib, extract_mesh)
+    if _native_mc_lib() is None:
+        pytest.skip("native MC lib not built")
+    z = jnp.asarray([0.8, 0.0])
+    res = 64
+    arrs, st = decode_grid_hierarchical3_sparse2(
+        sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096, safety=1.2,
+        safety3=2.0, out_dtype="float32")
+    grid = sparse2_to_grid(*arrs, st["active_l1"], st["active_l2"],
+                           res, 16, 4)
+    ids2 = np.asarray(arrs[4])[:st["active_l2"]]
+    vd, fd = extract_mesh(grid, iso=0.0)
+    vs, fs = extract_mesh(grid, iso=0.0, active_blocks=(ids2, 4))
+    assert len(vd) > 500
+    np.testing.assert_array_equal(vs, vd)
+    np.testing.assert_array_equal(fs, fd)
+
+
 def test_serve_meshes_int8_default_bucketing():
     """Default serving (int8 + bucketed rows): correct geometry and a
     payload several times smaller than the cap-sized v1 payload."""
