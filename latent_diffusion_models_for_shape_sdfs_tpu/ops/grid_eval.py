@@ -719,33 +719,30 @@ def decode_grid_hierarchical3_sparse2(apply_fn: ApplyFn, z: jnp.ndarray,
     return arrs, stats
 
 
-def sparse2_to_grid(c1, c2, idx1, vals2, ids2, n1: int, n2: int,
-                    res: int, b1: int, b2: int,
-                    dequant_scale: float = None,
-                    dtype=np.float32) -> np.ndarray:
-    """Host-side reconstruction of the compact v2 serving payload.
+def _sparse2_dequant(a, dequant_scale):
+    a = np.asarray(a)
+    if a.dtype == np.int8:
+        assert dequant_scale is not None, \
+            "int8 payload needs dequant_scale (hier3_int8_scale)"
+        return a.astype(np.float32) * (dequant_scale / 127.0)
+    return a
 
-    Rebuilds the b2-granularity fill cascade (c1 broadcast to b2 blocks,
-    active-parent c2 rows scattered over their sub-block ids — the numpy
-    mirror of the device-side cascade in _decode_grid_hier3_impl), then
-    defers to sparse_to_grid. Bit-equal to the v1 payload path for the
-    same program. int8 payloads require `dequant_scale`
-    (= hier3_int8_scale of the decode's (res, b2, safety))."""
+
+def sparse2_fill2(c1, c2, idx1, n1: int, res: int, b1: int, b2: int,
+                  dequant_scale: float = None,
+                  dtype=np.float32) -> np.ndarray:
+    """Rebuild the b2-granularity fill cascade [nb2^3] of the v2 payload:
+    c1 broadcast to b2 blocks, active-parent c2 rows scattered over their
+    sub-block ids — the numpy mirror of the device-side cascade in
+    _decode_grid_hier3_impl. This small (1 MB at 256^3) array + the fine
+    rows is everything the payload-direct mesher needs."""
     r1 = b1 // b2
     nb1, nb2 = res // b1, res // b2
-
-    def deq(a):
-        a = np.asarray(a)
-        if a.dtype == np.int8:
-            assert dequant_scale is not None, \
-                "int8 payload needs dequant_scale (hier3_int8_scale)"
-            return a.astype(np.float32) * (dequant_scale / 127.0)
-        return a
-
     bx = np.arange(nb2, dtype=np.int64) // r1
     parent = (bx[:, None, None] * nb1 + bx[None, :, None]) * nb1 \
         + bx[None, None, :]
-    fill2 = np.asarray(deq(c1), dtype)[parent.reshape(-1)].copy()
+    fill2 = np.asarray(_sparse2_dequant(c1, dequant_scale),
+                       dtype)[parent.reshape(-1)].copy()
     i1 = np.asarray(idx1[:n1]).astype(np.int64)
     x1, y1, z1 = i1 // (nb1 * nb1), (i1 // nb1) % nb1, i1 % nb1
     off = np.arange(r1 ** 3, dtype=np.int64)
@@ -753,8 +750,23 @@ def sparse2_to_grid(c1, c2, idx1, vals2, ids2, n1: int, n2: int,
     sub = ((x1[:, None] * r1 + ox[None, :]) * nb2
            + (y1[:, None] * r1 + oy[None, :])) * nb2 \
         + (z1[:, None] * r1 + oz[None, :])
-    fill2[sub.reshape(-1)] = np.asarray(deq(c2[:n1]), dtype).reshape(-1)
-    return sparse_to_grid(fill2, deq(vals2), ids2, n2, res, b2, dtype)
+    fill2[sub.reshape(-1)] = np.asarray(
+        _sparse2_dequant(c2[:n1], dequant_scale), dtype).reshape(-1)
+    return fill2
+
+
+def sparse2_to_grid(c1, c2, idx1, vals2, ids2, n1: int, n2: int,
+                    res: int, b1: int, b2: int,
+                    dequant_scale: float = None,
+                    dtype=np.float32) -> np.ndarray:
+    """Host-side reconstruction of the compact v2 serving payload:
+    sparse2_fill2 cascade + sparse_to_grid. Bit-equal to the v1 payload
+    path for the same program. int8 payloads require `dequant_scale`
+    (= hier3_int8_scale of the decode's (res, b2, safety))."""
+    fill2 = sparse2_fill2(c1, c2, idx1, n1, res, b1, b2,
+                          dequant_scale, dtype)
+    return sparse_to_grid(fill2, _sparse2_dequant(vals2, dequant_scale),
+                          ids2, n2, res, b2, dtype)
 
 
 def sparse_to_grid(fill2: np.ndarray, vals2: np.ndarray, ids2: np.ndarray,

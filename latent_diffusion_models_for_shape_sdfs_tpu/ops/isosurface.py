@@ -195,6 +195,12 @@ def _native_mc_lib():
         lib.mc_run_blocks.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_float, f32p, ctypes.c_float,
             i32p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    if hasattr(lib, "mc_run_payload"):
+        lib.mc_run_payload.restype = ctypes.c_void_p
+        lib.mc_run_payload.argtypes = [
+            f32p, f32p, i32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, f32p, ctypes.c_float, i32p, ctypes.c_int64,
+            i64p, i64p]
     lib.mc_copy.restype = None
     lib.mc_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
     lib.mc_free.restype = None
@@ -227,6 +233,60 @@ def _extract_mesh_clib(lib, grid: np.ndarray, iso: float, origin,
                        ctypes.c_float(iso), org.ctypes.data_as(f32p),
                        ctypes.c_float(spacing), ctypes.byref(nv),
                        ctypes.byref(nf))
+    try:
+        verts = np.empty((nv.value, 3), np.float32)
+        faces = np.empty((nf.value, 3), np.int64)
+        lib.mc_copy(h, verts.ctypes.data_as(f32p),
+                    faces.ctypes.data_as(i64p))
+    finally:
+        lib.mc_free(h)
+    return verts, faces
+
+
+def extract_mesh_payload(fill2: np.ndarray, vals2: np.ndarray,
+                         ids2: np.ndarray, n_active: int, res: int,
+                         b2: int, iso: float = 0.0,
+                         origin=(-1.0, -1.0, -1.0),
+                         spacing: Optional[float] = None) -> Optional[tuple]:
+    """Mesh a sparse serving payload DIRECTLY — no dense grid on the host.
+
+    `fill2` [nb^3] f32 is the b2-granularity fill cascade
+    (ops.grid_eval.sparse2_fill2, already dequantized), `vals2`
+    [>=n_active, b2^3] f32 the fine rows, `ids2` their b2-flat block
+    ids. The native mesher scans only cells touching active blocks
+    (+1-cell halo) and reads values through the block accessor — the
+    64 MB dense-grid build this replaces was the largest host cost on
+    the serving path. Bit-identical to extract_mesh on the
+    reconstructed grid (same cells, same order, same values). Only
+    sound at iso~0 (the decode's tau-selection guarantee — serve gates
+    on iso==0). Returns None when the native lib is unavailable
+    (caller falls back to reconstruct + extract_mesh)."""
+    lib = _native_mc_lib()
+    if lib is None or not hasattr(lib, "mc_run_payload"):
+        return None
+    import ctypes
+    if spacing is None:
+        spacing = 2.0 / (res - 1)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nb = res // b2
+    fill2 = np.ascontiguousarray(fill2, np.float32)
+    assert fill2.size == nb ** 3
+    vals = np.ascontiguousarray(
+        np.asarray(vals2)[:n_active], np.float32)
+    ids = np.ascontiguousarray(np.asarray(ids2)[:n_active], np.int32)
+    rank = np.full((nb ** 3,), -1, np.int32)
+    rank[ids.astype(np.int64)] = np.arange(n_active, dtype=np.int32)
+    org = np.asarray(origin, np.float32)
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    h = lib.mc_run_payload(
+        fill2.ctypes.data_as(f32p), vals.ctypes.data_as(f32p),
+        rank.ctypes.data_as(i32p), res, b2, ctypes.c_float(iso),
+        org.ctypes.data_as(f32p), ctypes.c_float(spacing),
+        ids.ctypes.data_as(i32p), int(n_active), ctypes.byref(nv),
+        ctypes.byref(nf))
+    i64p = ctypes.POINTER(ctypes.c_int64)
     try:
         verts = np.empty((nv.value, 3), np.float32)
         faces = np.empty((nf.value, 3), np.int64)

@@ -20,16 +20,41 @@ production packaging of it (one call from latents to meshes).
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
+
+def _auto_workers() -> int:
+    """Meshing thread count: cores+1 capped at 4 — the +1 keeps one
+    thread draining d2h while another meshes; more threads on a small
+    host just contend (workers=2 measured faster than 4 on a 1-core
+    host: 312 vs 344 ms/mesh at 256^3)."""
+    return min(4, (os.cpu_count() or 1) + 1)
+
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
     decode_grid_hierarchical3_sparse, decode_grid_hierarchical3_sparse2,
-    hier3_int8_scale, sparse_to_grid, sparse2_to_grid)
+    hier3_int8_scale, sparse_to_grid, sparse2_to_grid, sparse2_fill2,
+    _sparse2_dequant)
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
-    extract_mesh)
+    extract_mesh, extract_mesh_payload)
+
+
+def _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2, n1, n2, res, iso, dq):
+    """Mesh one v2 payload: payload-direct native path at iso=0 (no
+    dense grid on the host), else reconstruct + (block-scan) MC."""
+    if iso == 0.0:
+        fill2 = sparse2_fill2(c1a, c2a, idx1, n1, res, 16, 4, dq)
+        out = extract_mesh_payload(
+            fill2, _sparse2_dequant(vals2, dq), ids2, n2, res, 4)
+        if out is not None:
+            return out
+    grid = sparse2_to_grid(c1a, c2a, idx1, vals2, ids2, n1, n2,
+                           res, 16, 4, dequant_scale=dq)
+    ab = ((np.asarray(ids2)[:n2], 4) if iso == 0.0 else None)
+    return extract_mesh(grid, iso=iso, active_blocks=ab)
 
 
 def _default_caps(res: int) -> tuple:
@@ -54,7 +79,7 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                  safety: float = 1.2, safety3: float = 2.0,
                  iso: float = 0.0, caps: Optional[tuple] = None,
                  max_escalations: int = 4, out_dtype: str = "int8",
-                 mesh_workers: int = 4) -> Iterator[tuple]:
+                 mesh_workers: Optional[int] = None) -> Iterator[tuple]:
     """Yield (verts, faces, stats) for each latent in `latents`.
 
     `apply_fn`: ops.grid_eval ApplyFn ((z, xyz[N,3]) -> sdf[N]), e.g.
@@ -80,7 +105,7 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     shifts are a few percent of a voxel; "bfloat16" is the round-2
     payload (crossing impact in QUALITY.md); pass "float32" for the
     fp32 lineage-parity mode (bit-equal to the dense decode's
-    hierarchy). `mesh_workers` > 1 overlaps the host
+    hierarchy). `mesh_workers` (None = cores+1, max 4) > 1 overlaps the host
     grid-reconstruction + marching-cubes across shapes (results still
     yield in input order); 1 restores fully serial hosting.
     """
@@ -96,14 +121,9 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
 
     def mesh_job(c1a, c2a, idx1, vals2, ids2, n1, n2, n3, c1, c2, c3,
                  esc):
-        grid = sparse2_to_grid(c1a, c2a, idx1, vals2, ids2,
-                               min(n1, c1), min(n2, c2), res, 16, 4,
-                               dequant_scale=dq)
-        # at iso=0 the payload's active-block ids bound the crossing
-        # cells — the native MC then scans ~10% of the grid
-        ab = ((np.asarray(ids2)[:min(n2, c2)], 4) if iso == 0.0
-              else None)
-        verts, faces = extract_mesh(grid, iso=iso, active_blocks=ab)
+        verts, faces = _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2,
+                                        min(n1, c1), min(n2, c2), res,
+                                        iso, dq)
         return verts, faces, {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
             "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
@@ -152,6 +172,8 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
             yield (c1a, c2a, idx1, vals2, ids2, n1, n2, n3,
                    c1, c2, c3, esc)
 
+    if mesh_workers is None:
+        mesh_workers = _auto_workers()
     if mesh_workers <= 1:
         for job in jobs():
             yield mesh_job(*job)
@@ -203,13 +225,10 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
     c2a, i1, v2, i2 = c2a[:, :k1], i1[:, :k1], v2[:, :k2], i2[:, :k2]
 
     def mesh_job(i):
-        grid = sparse2_to_grid(c1a[i], c2a[i], i1[i], v2[i], i2[i],
-                               min(int(n1[i]), cap1),
-                               min(int(n2[i]), cap2), res, 16, 4,
-                               dequant_scale=dq)
-        ab = ((np.asarray(i2[i])[:min(int(n2[i]), cap2)], 4)
-              if iso == 0.0 else None)
-        verts, faces = extract_mesh(grid, iso=iso, active_blocks=ab)
+        verts, faces = _mesh_v2_payload(c1a[i], c2a[i], i1[i], v2[i],
+                                        i2[i], min(int(n1[i]), cap1),
+                                        min(int(n2[i]), cap2), res,
+                                        iso, dq)
         return verts, faces, {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,
@@ -220,7 +239,7 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
 
     # host meshing overlapped across shapes; escalation re-decodes (rare)
     # stay on this thread — one serialized device stream.
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=_auto_workers()) as pool:
         futures = {}
         for i in range(n_shapes):
             if not (n1[i] > cap1 or n2[i] > cap2 or n3[i] > cap3):

@@ -47,6 +47,28 @@ void* mc_run_blocks(const float* grid, int64_t R, float iso,
   return mesh;
 }
 
+// Payload-direct variant: mesh the v2 serving payload at its native
+// block-sparse layout — fill [nb^3] (b-granularity, dequantized f32),
+// vals [n_active, b^3], rank [nb^3] (-1 = keep fill) — without ever
+// materializing the R^3 dense grid on the host (a 64 MB build+fill pass
+// at 256^3 that dominated the serving host cost after the scan fix).
+// Identical mesh to mc_run on the reconstructed grid: same candidate
+// cells (block scan), same x-major order, same values via the accessor.
+void* mc_run_payload(const float* fill, const float* vals,
+                     const int32_t* rank, int64_t R, int64_t block,
+                     float iso, const float* origin, float spacing,
+                     const int32_t* block_ids, int64_t n_blocks,
+                     int64_t* nv, int64_t* nf) {
+  mt::BlockVF vf{fill, vals, rank, static_cast<int>(R),
+                 static_cast<int>(block),
+                 static_cast<int>(R / block)};
+  auto* mesh = new mt::MeshOut(
+      mt::extract_payload(vf, iso, origin, spacing, block_ids, n_blocks));
+  *nv = static_cast<int64_t>(mesh->verts.size() / 3);
+  *nf = static_cast<int64_t>(mesh->faces.size() / 3);
+  return mesh;
+}
+
 void mc_copy(void* handle, float* verts, int64_t* faces) {
   auto* mesh = static_cast<mt::MeshOut*>(handle);
   std::memcpy(verts, mesh->verts.data(), mesh->verts.size() * sizeof(float));

@@ -2,6 +2,13 @@
 // reference (ops/isosurface.py) — 6-tet cube decomposition around the main
 // diagonal, lattice-edge-keyed vertex welding — promoted to C++ for 512^3
 // grids (SURVEY.md s2.4 native ledger).
+//
+// Three entry shapes, sharing one polygonizer that is generic over a
+// value accessor (so the block-sparse serving payload can be meshed
+// WITHOUT materializing the 64 MB dense grid on the host):
+//   extract(grid, ...)             dense grid, full parallel scan
+//   extract(grid, ..., &cells)     dense grid, pre-scanned cells
+//   extract_payload(BlockVF, ...)  block-sparse payload, block scan
 #pragma once
 #include <algorithm>
 #include <array>
@@ -27,6 +34,28 @@ inline constexpr int kTets[6][4] = {
     {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
     {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7}};
 
+// Value accessor over the v2 serving payload at its native layout:
+// b-granularity fill (f32, already dequantized) + active fine rows.
+// rank[id] is the row of block id in vals, or -1 if the block keeps its
+// fill value. Lattice id g is x-major ((x*R + y)*R + z).
+struct BlockVF {
+  const float* fill;    // [nb^3]
+  const float* vals;    // [n_active, b^3] x-major within block
+  const int32_t* rank;  // [nb^3]
+  int R, b, nb;
+  float operator()(int64_t g) const {
+    const int z = static_cast<int>(g % R);
+    const int y = static_cast<int>((g / R) % R);
+    const int x = static_cast<int>(g / (static_cast<int64_t>(R) * R));
+    const int64_t id =
+        (static_cast<int64_t>(x / b) * nb + y / b) * nb + z / b;
+    const int32_t r = rank[id];
+    if (r < 0) return fill[id];
+    return vals[static_cast<int64_t>(r) * b * b * b +
+                (static_cast<int64_t>(x % b) * b + y % b) * b + (z % b)];
+  }
+};
+
 // Phase 1 for sparse serving payloads: candidate cells are only those
 // touching (or one cell below — the low-face halo) an ACTIVE b-block of
 // the hierarchical decode. The decode's tau selection guarantees the
@@ -34,10 +63,10 @@ inline constexpr int kTets[6][4] = {
 // of the reconstructed grid touches one; a bitmap dedups the halo
 // overlap between adjacent blocks and keeps the scan order (and hence
 // vertex welding order) identical to the dense scan's x-major order.
-inline std::vector<int64_t> scan_blocks(const float* grid, int R,
-                                        float iso,
-                                        const int32_t* block_ids,
-                                        int64_t n_blocks, int b) {
+template <class VF>
+inline std::vector<int64_t> scan_blocks_vf(VF&& value, int R, float iso,
+                                           const int32_t* block_ids,
+                                           int64_t n_blocks, int b) {
   const int n = R - 1, nb = R / b;
   const size_t ncells = static_cast<size_t>(n) * n * n;
   std::vector<uint64_t> bits(ncells / 64 + 1, 0);
@@ -61,6 +90,9 @@ inline std::vector<int64_t> scan_blocks(const float* grid, int R,
         }
       }
   }
+  auto gid = [&](int x, int y, int z) -> int64_t {
+    return (static_cast<int64_t>(x) * R + y) * R + z;
+  };
   std::vector<int64_t> cells;
   for (size_t w = 0; w < bits.size(); ++w) {
     uint64_t word = bits[w];
@@ -71,14 +103,11 @@ inline std::vector<int64_t> scan_blocks(const float* grid, int R,
       const int z = static_cast<int>(c % n);
       const int y = static_cast<int>((c / n) % n);
       const int x = static_cast<int>(c / (static_cast<int64_t>(n) * n));
-      const float* row0 = grid + (static_cast<int64_t>(x) * R + y) * R;
-      const float* row1 = row0 + R;
-      const float* row2 = row0 + static_cast<int64_t>(R) * R;
-      const float* row3 = row2 + R;
       bool lo = false, hi = false;
-      for (const float* r : {row0, row1, row2, row3}) {
-        (r[z] < iso ? lo : hi) = true;
-        (r[z + 1] < iso ? lo : hi) = true;
+      for (int k = 0; k < 8; ++k) {
+        const float v = value(gid(x + kCorners[k][0], y + kCorners[k][1],
+                                  z + kCorners[k][2]));
+        (v < iso ? lo : hi) = true;
       }
       if (lo && hi) cells.push_back(c);
     }
@@ -86,21 +115,29 @@ inline std::vector<int64_t> scan_blocks(const float* grid, int R,
   return cells;  // already x-major sorted (bitmap order)
 }
 
-// grid: R^3 float32, x-major (index (i*R + j)*R + k).
-// cells: pre-scanned crossing cells (x-major sorted) or nullptr to scan
-// the full grid.
-inline MeshOut extract(const float* grid, int R, float iso,
-                       const float origin[3], float spacing,
-                       const std::vector<int64_t>* pre_cells = nullptr) {
+inline std::vector<int64_t> scan_blocks(const float* grid, int R,
+                                        float iso,
+                                        const int32_t* block_ids,
+                                        int64_t n_blocks, int b) {
+  return scan_blocks_vf([grid](int64_t g) { return grid[g]; }, R, iso,
+                        block_ids, n_blocks, b);
+}
+
+// Phase 2: polygonize pre-scanned crossing cells (x-major sorted) with
+// lattice-edge welded vertices. Generic over the value accessor.
+template <class VF>
+inline MeshOut polygonize(VF&& value, int R, float iso,
+                          const float origin[3], float spacing,
+                          const std::vector<int64_t>& cells) {
   MeshOut out;
   std::unordered_map<uint64_t, int64_t> edge_to_vertex;
-  edge_to_vertex.reserve(1 << 20);
+  edge_to_vertex.reserve(cells.size() * 2 + 16);
   const int64_t R3 = static_cast<int64_t>(R) * R * R;
+  const int n = R - 1;
 
   auto gid = [&](int x, int y, int z) -> int64_t {
     return (static_cast<int64_t>(x) * R + y) * R + z;
   };
-  auto value = [&](int64_t g) { return grid[g]; };
 
   // Emit (or reuse) the welded vertex on lattice edge (ga, gb).
   auto edge_vertex = [&](int64_t ga, int64_t gb) -> int64_t {
@@ -143,103 +180,113 @@ inline MeshOut extract(const float* grid, int R, float iso,
     out.faces.push_back(v2);
   };
 
-  // Phase 1 (parallel): scan for surface-crossing cells. A cell crosses
-  // only if a sign change occurs among its 8 corners; scanning is ~99% of
-  // the work at 512^3 so it fans out over x-slabs, while the welding
-  // polygonization of the ~1% active cells stays single-threaded.
-  const int n = R - 1;
-  const unsigned n_threads =
-      std::max(1u, std::thread::hardware_concurrency());
-  std::vector<std::vector<int64_t>> found(n_threads);
-  if (pre_cells == nullptr) {
-    std::atomic<int> next_x{0};
-    auto scan = [&](unsigned tid) {
-      auto& mine = found[tid];
-      int x;
-      while ((x = next_x.fetch_add(1)) < n) {
-        for (int y = 0; y < n; ++y) {
-          const float* row0 = grid + (static_cast<int64_t>(x) * R + y) * R;
-          const float* row1 = row0 + R;                    // y+1
-          const float* row2 = row0 + static_cast<int64_t>(R) * R;  // x+1
-          const float* row3 = row2 + R;                    // x+1, y+1
-          for (int z = 0; z < n; ++z) {
-            bool lo = false, hi = false;
-            for (const float* r : {row0, row1, row2, row3}) {
-              (r[z] < iso ? lo : hi) = true;
-              (r[z + 1] < iso ? lo : hi) = true;
-            }
-            if (lo && hi)
-              mine.push_back((static_cast<int64_t>(x) * n + y) * n + z);
-          }
-        }
+  int64_t cg[8];
+  for (int64_t cell : cells) {
+    const int z = static_cast<int>(cell % n);
+    const int y = static_cast<int>((cell / n) % n);
+    const int x = static_cast<int>(cell / (static_cast<int64_t>(n) * n));
+    for (int c = 0; c < 8; ++c)
+      cg[c] = gid(x + kCorners[c][0], y + kCorners[c][1],
+                  z + kCorners[c][2]);
+    for (const auto& tet : kTets) {
+      int64_t tg[4];
+      float tv[4];
+      int mask = 0;
+      for (int i = 0; i < 4; ++i) {
+        tg[i] = cg[tet[i]];
+        tv[i] = value(tg[i]);
+        if (tv[i] < iso) mask |= 1 << i;
       }
-    };
-    std::vector<std::thread> pool;
-    for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(scan, t);
-    for (auto& t : pool) t.join();
+      if (mask == 0 || mask == 15) continue;
+      int count = __builtin_popcount(static_cast<unsigned>(mask));
+      if (count == 1 || count == 3) {
+        int lone = -1;
+        for (int i = 0; i < 4; ++i) {
+          bool inside = (mask >> i) & 1;
+          if ((count == 1 && inside) || (count == 3 && !inside)) lone = i;
+        }
+        int o[3], oi = 0;
+        for (int i = 0; i < 4; ++i)
+          if (i != lone) o[oi++] = i;
+        emit_tri(tg[lone], tg[o[0]], tg[lone], tg[o[1]], tg[lone],
+                 tg[o[2]]);
+      } else {  // count == 2: quad -> 2 triangles
+        int a = -1, b = -1, c = -1, d = -1;
+        for (int i = 0; i < 4; ++i) {
+          if ((mask >> i) & 1) (a < 0 ? a : b) = i;
+          else (c < 0 ? c : d) = i;
+        }
+        emit_tri(tg[a], tg[c], tg[a], tg[d], tg[b], tg[d]);
+        emit_tri(tg[a], tg[c], tg[b], tg[d], tg[b], tg[c]);
+      }
+    }
   }
+  return out;
+}
 
-  // Deterministic order regardless of thread scheduling.
+// grid: R^3 float32, x-major (index (i*R + j)*R + k).
+// pre_cells: pre-scanned crossing cells (x-major sorted) or nullptr to
+// scan the full grid in parallel.
+inline MeshOut extract(const float* grid, int R, float iso,
+                       const float origin[3], float spacing,
+                       const std::vector<int64_t>* pre_cells = nullptr) {
+  const int n = R - 1;
   std::vector<int64_t> cells;
   if (pre_cells == nullptr) {
+    // Parallel scan for surface-crossing cells. A cell crosses only if a
+    // sign change occurs among its 8 corners; scanning is ~99% of the
+    // work at 512^3 so it fans out over x-slabs, while the welding
+    // polygonization of the ~1% active cells stays single-threaded.
+    const unsigned n_threads =
+        std::max(1u, std::thread::hardware_concurrency());
+    std::vector<std::vector<int64_t>> found(n_threads);
+    {
+      std::atomic<int> next_x{0};
+      auto scan = [&](unsigned tid) {
+        auto& mine = found[tid];
+        int x;
+        while ((x = next_x.fetch_add(1)) < n) {
+          for (int y = 0; y < n; ++y) {
+            const float* row0 = grid + (static_cast<int64_t>(x) * R + y) * R;
+            const float* row1 = row0 + R;                    // y+1
+            const float* row2 = row0 + static_cast<int64_t>(R) * R;  // x+1
+            const float* row3 = row2 + R;                    // x+1, y+1
+            for (int z = 0; z < n; ++z) {
+              bool lo = false, hi = false;
+              for (const float* r : {row0, row1, row2, row3}) {
+                (r[z] < iso ? lo : hi) = true;
+                (r[z + 1] < iso ? lo : hi) = true;
+              }
+              if (lo && hi)
+                mine.push_back((static_cast<int64_t>(x) * n + y) * n + z);
+            }
+          }
+        }
+      };
+      std::vector<std::thread> pool;
+      for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(scan, t);
+      for (auto& t : pool) t.join();
+    }
+    // Deterministic order regardless of thread scheduling.
     size_t total = 0;
     for (auto& f : found) total += f.size();
     cells.reserve(total);
     for (auto& f : found) cells.insert(cells.end(), f.begin(), f.end());
     std::sort(cells.begin(), cells.end());
-    edge_to_vertex.reserve(total * 2);
   } else {
     cells = *pre_cells;
-    edge_to_vertex.reserve(cells.size() * 2);
   }
+  return polygonize([grid](int64_t g) { return grid[g]; }, R, iso, origin,
+                    spacing, cells);
+}
 
-  // Phase 2 (serial): polygonize crossing cells with welded vertices.
-  int64_t cg[8];
-  {
-    for (int64_t cell : cells) {
-      {
-        const int z = static_cast<int>(cell % n);
-        const int y = static_cast<int>((cell / n) % n);
-        const int x = static_cast<int>(cell / (static_cast<int64_t>(n) * n));
-        for (int c = 0; c < 8; ++c)
-          cg[c] = gid(x + kCorners[c][0], y + kCorners[c][1],
-                      z + kCorners[c][2]);
-        for (const auto& tet : kTets) {
-          int64_t tg[4];
-          float tv[4];
-          int mask = 0;
-          for (int i = 0; i < 4; ++i) {
-            tg[i] = cg[tet[i]];
-            tv[i] = value(tg[i]);
-            if (tv[i] < iso) mask |= 1 << i;
-          }
-          if (mask == 0 || mask == 15) continue;
-          int count = __builtin_popcount(static_cast<unsigned>(mask));
-          if (count == 1 || count == 3) {
-            int lone = -1;
-            for (int i = 0; i < 4; ++i) {
-              bool inside = (mask >> i) & 1;
-              if ((count == 1 && inside) || (count == 3 && !inside)) lone = i;
-            }
-            int o[3], oi = 0;
-            for (int i = 0; i < 4; ++i)
-              if (i != lone) o[oi++] = i;
-            emit_tri(tg[lone], tg[o[0]], tg[lone], tg[o[1]], tg[lone],
-                     tg[o[2]]);
-          } else {  // count == 2: quad -> 2 triangles
-            int a = -1, b = -1, c = -1, d = -1;
-            for (int i = 0; i < 4; ++i) {
-              if ((mask >> i) & 1) (a < 0 ? a : b) = i;
-              else (c < 0 ? c : d) = i;
-            }
-            emit_tri(tg[a], tg[c], tg[a], tg[d], tg[b], tg[d]);
-            emit_tri(tg[a], tg[c], tg[b], tg[d], tg[b], tg[c]);
-          }
-        }
-      }
-    }
-  }
-  return out;
+// Mesh the v2 serving payload directly (no dense grid on the host).
+inline MeshOut extract_payload(const BlockVF& vf, float iso,
+                               const float origin[3], float spacing,
+                               const int32_t* block_ids,
+                               int64_t n_blocks) {
+  auto cells = scan_blocks_vf(vf, vf.R, iso, block_ids, n_blocks, vf.b);
+  return polygonize(vf, vf.R, iso, origin, spacing, cells);
 }
 
 }  // namespace mt

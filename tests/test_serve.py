@@ -132,6 +132,35 @@ def test_sparse_scan_mc_matches_dense_scan():
     np.testing.assert_array_equal(fs, fd)
 
 
+def test_payload_direct_mc_matches_grid_mc():
+    """extract_mesh_payload (serve's host fast path: no dense grid ever
+    materialized) must produce the EXACT mesh of reconstruct-then-MC,
+    for both f32 and int8 payloads."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        sparse2_fill2, _sparse2_dequant)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        _native_mc_lib, extract_mesh, extract_mesh_payload)
+    if _native_mc_lib() is None:
+        pytest.skip("native MC lib not built")
+    res = 64
+    for dtype, zv in (("float32", 0.3), ("int8", 0.75)):
+        arrs, st = decode_grid_hierarchical3_sparse2(
+            sphere_apply, jnp.asarray([zv, 0.0]), res, 16, 4, 2,
+            64, 1024, 4096, safety=1.2, safety3=2.0, out_dtype=dtype)
+        n1, n2 = st["active_l1"], st["active_l2"]
+        dq = st.get("quant_scale")
+        grid = sparse2_to_grid(*arrs, n1, n2, res, 16, 4,
+                               dequant_scale=dq)
+        vd, fd = extract_mesh(grid, iso=0.0)
+        c1a, c2a, idx1, vals2, ids2 = arrs
+        fill2 = sparse2_fill2(c1a, c2a, idx1, n1, res, 16, 4, dq)
+        vp, fp = extract_mesh_payload(
+            fill2, _sparse2_dequant(vals2, dq), ids2, n2, res, 4)
+        assert len(vd) > 500, dtype
+        np.testing.assert_array_equal(vp, vd)
+        np.testing.assert_array_equal(fp, fd)
+
+
 def test_serve_meshes_int8_default_bucketing():
     """Default serving (int8 + bucketed rows): correct geometry and a
     payload several times smaller than the cap-sized v1 payload."""

@@ -12,10 +12,14 @@
 
 Writes runs/scale_chairs6k/heldout_eval.json.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/heldout_eval.py
+`--serve-only` skips the reconstruction battery + safety sweep and
+refreshes just the serving row (merged into the existing json) — for
+re-measuring serving-path changes against the saved 6k checkpoint.
 """
 
 import json
 import pathlib
+import sys
 import time
 
 import numpy as np
@@ -54,7 +58,10 @@ def main():
         StageCheckpointer)
 
     np.asarray(jnp.ones(8))
+    serve_only = "--serve-only" in sys.argv
     report = {}
+    if serve_only and (OUT / "heldout_eval.json").exists():
+        report = json.loads((OUT / "heldout_eval.json").read_text())
 
     decoder = SdfDecoder(DecoderConfig())
     tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
@@ -76,7 +83,9 @@ def main():
     #      carve the empty regions where the auto-decoder prior likes to
     #      grow furniture.
     held = analytic.make_synthetic_split("chair", 8, seed=4242)
-    budgets = {"A_8k_surf95": (8000, 0.95), "B_16k_surf70": (16000, 0.70)}
+    budgets = ({} if serve_only else
+               {"A_8k_surf95": (8000, 0.95),
+                "B_16k_surf70": (16000, 0.70)})
     batteries = {}
     for bname, (n_obs, surf_frac) in budgets.items():
         rows = []
@@ -118,8 +127,9 @@ def main():
         print(f"held-out[{bname}]: median={batteries[bname]['median']:.2e}"
               f" worst p2g={batteries[bname]['worst_pred_to_gt']:.2e}",
               flush=True)
-    report["held_out"] = batteries["A_8k_surf95"]
-    report["held_out_budgets"] = batteries
+    if not serve_only:
+        report["held_out"] = batteries["A_8k_surf95"]
+        report["held_out_budgets"] = batteries
 
     # ---- 2. serving path on trained codes, 256^3
     zs = [jax.block_until_ready(codes[i]) for i in range(0, 40, 8)]
@@ -140,6 +150,15 @@ def main():
           flush=True)
 
     # ---- 3. safety sweep: crossing miss-rate vs dense f32 at 256^3
+    if serve_only:
+        (OUT / "heldout_eval.json").write_text(
+            json.dumps(report, indent=2))
+        print("wrote heldout_eval.json (serve row refreshed)")
+        sys.path.insert(0, str(ROOT / "tools"))
+        from scale_run import write_scale_md
+        write_scale_md(json.loads((OUT / "report.json").read_text()))
+        print("rewrote SCALE.md")
+        return
     dense = np.asarray(decode_grid(apply_fn, codes[0], 256,
                                    chunk=1_048_576))
 

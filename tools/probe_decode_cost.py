@@ -114,6 +114,43 @@ def main():
         print(f"pallas apply {npts} pts: {dt * 1e3:.2f} ms "
               f"({npts / dt / 1e6:.1f}M evals/s)")
 
+    # 5b. compact() in isolation at each level's (n, cap): is the
+    # monotone-position scatter a real cost? (vs a searchsorted gather)
+    for n, cap in ((4096, 640), (40960, 8448), (67584, 33664)):
+        key = jax.random.PRNGKey(n)
+        mask0 = jax.random.uniform(key, (n,)) < min(0.8 * cap / n, 0.9)
+        masks = [jax.block_until_ready(
+            jnp.roll(mask0, i)) for i in range(4)]
+
+        @jax.jit
+        def comp_scatter(mask):
+            npos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            pos = jnp.where(mask, npos, cap)
+            ids = jnp.zeros((cap,), jnp.int32).at[pos].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            return ids, npos[-1] + 1
+
+        @jax.jit
+        def comp_search(mask):
+            csum = jnp.cumsum(mask.astype(jnp.int32))
+            ids = jnp.searchsorted(
+                csum, jnp.arange(1, cap + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            return ids, csum[-1]
+
+        for name, f in (("scatter", comp_scatter),
+                        ("searchsorted", comp_search)):
+            out = f(masks[0])
+            jax.block_until_ready(out)
+            out = f(masks[1])
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for i in range(2, 10):
+                out = f(masks[i % 4])
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 8
+            print(f"compact[{name}] n={n} cap={cap}: {dt * 1e3:.2f} ms")
+
     # 6. serving e2e: v2 bucketed payload, int8 vs bf16 vs f32
     for dt_name in ("int8", "bfloat16", "float32"):
         srv = [jax.block_until_ready(z0 + 1e-6 * (i + 1))

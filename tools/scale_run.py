@@ -344,8 +344,8 @@ def write_scale_md(report: dict) -> None:
             s = he["serve_256"]
             md.append(
                 f"- serving path on trained codes (serve.serve_meshes, "
-                f"256^3 sparse payload + in-process native marching "
-                f"cubes, threaded host meshing): "
+                f"256^3 compact int8 payload + payload-direct native "
+                f"marching cubes, threaded host meshing): "
                 f"{s['ms_per_mesh']:.0f} ms/mesh end-to-end "
                 f"({s['payload_mib']:.2f} MiB d2h payload/shape, "
                 f"{s['escalations']} capacity escalations)")
