@@ -191,7 +191,6 @@ def main():
     print("wrote heldout_eval.json")
 
     # refresh SCALE.md with the battery + serving rows
-    import sys
     sys.path.insert(0, str(ROOT / "tools"))
     from scale_run import write_scale_md
     write_scale_md(json.loads((OUT / "report.json").read_text()))
