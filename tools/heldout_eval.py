@@ -149,6 +149,27 @@ def main():
           f"({report['serve_256']['payload_mib']:.2f} MiB payload)",
           flush=True)
 
+    # ---- 2b. serving at 512^3 (viable only since the int8 compact
+    # payload: the bf16 cap-sized payload was ~10 MiB/shape there)
+    zs5 = [jax.block_until_ready(codes[i]) for i in range(0, 24, 8)]
+    list(serve_meshes(apply_fn, zs5[:1], res=512))  # compile+warm
+    t0 = time.time()
+    stats5, nv5 = [], 0
+    for v, f, st in serve_meshes(apply_fn, zs5, res=512):
+        assert len(f) > 1000
+        stats5.append(st)
+        nv5 += len(v)
+    dt5 = (time.time() - t0) / len(zs5)
+    report["serve_512"] = {
+        "ms_per_mesh": dt5 * 1e3, "meshes_per_sec": 1.0 / dt5,
+        "payload_mib": float(np.mean([s["payload_bytes"]
+                                      for s in stats5])) / 2 ** 20,
+        "verts_per_mesh": nv5 // len(zs5),
+        "escalations": int(sum(s["escalations"] for s in stats5))}
+    print(f"serve 512^3 on trained codes: {dt5*1e3:.0f} ms/mesh "
+          f"({report['serve_512']['payload_mib']:.2f} MiB payload, "
+          f"{nv5 // len(zs5)} verts)", flush=True)
+
     # ---- 3. safety sweep: crossing miss-rate vs dense f32 at 256^3
     if serve_only:
         (OUT / "heldout_eval.json").write_text(

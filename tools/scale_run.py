@@ -349,6 +349,14 @@ def write_scale_md(report: dict) -> None:
                 f"{s['ms_per_mesh']:.0f} ms/mesh end-to-end "
                 f"({s['payload_mib']:.2f} MiB d2h payload/shape, "
                 f"{s['escalations']} capacity escalations)")
+        if "serve_512" in he:
+            s = he["serve_512"]
+            md.append(
+                f"- serving at 512^3 (int8 payload makes it host-link-"
+                f"viable): {s['ms_per_mesh']:.0f} ms/mesh "
+                f"({s['payload_mib']:.2f} MiB payload, "
+                f"{s['verts_per_mesh']} verts/mesh, "
+                f"{s['escalations']} escalations)")
 
     sweep_path = OUT / "diff_sweep.json"
     if sweep_path.exists():
