@@ -366,18 +366,28 @@ def main():
     # distinct pre-uploaded device keys per call: a fresh host key would
     # time the throttled h2d channel; an identical key would let the relay
     # serve the re-execution from cache
-    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(6), 8))
+    keys = jax.block_until_ready(jax.random.split(jax.random.PRNGKey(6),
+                                                  10))
     out = sample(keys[0])
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(1, 4):
-        out = sample(keys[i])
-    jax.block_until_ready(out)
-    dt_d = (time.perf_counter() - t0) / 3
+    # median of 3 pipelined 3-call loops: a single multi-second relay
+    # stall (observed: one run recorded 52 ms/batch where neighbors saw
+    # 12) corrupts at most one loop and the median discards it. Every
+    # call gets a distinct pre-uploaded key (keys[0] stays warm-only).
+    loop_avgs = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(3):
+            out = sample(keys[1 + rep * 3 + i])
+        jax.block_until_ready(out)
+        loop_avgs.append((time.perf_counter() - t0) / 3)
+    dt_d = sorted(loop_avgs)[1]
     details["ddim50_samples_per_sec"] = B / dt_d
     details["ddim50_batch"] = B
+    details["ddim50_loop_avgs_ms"] = [a * 1e3 for a in loop_avgs]
     log(f"ddim-50: {dt_d * 1e3:.1f} ms/batch({B}) -> "
-        f"{B / dt_d:.1f} samples/s")
+        f"{B / dt_d:.1f} samples/s (loop avgs "
+        f"{[round(a * 1e3, 1) for a in loop_avgs]})")
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -115,6 +115,14 @@ class DecodeArtifact:
         """
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
             sparse2_to_grid)
+        c1, c2, i1, v2, i2, n1, n2 = self._payload_checked(
+            z, check_capacity)
+        m = self.meta
+        return sparse2_to_grid(c1, c2, i1, v2, i2, n1, n2,
+                               m["res"], m["b1"], m["b2"],
+                               dequant_scale=m.get("quant_scale"))
+
+    def _payload_checked(self, z, check_capacity: bool) -> tuple:
         c1, c2, i1, v2, i2, n1, n2, n3 = self.payload(z)
         n1, n2, n3 = int(n1), int(n2), int(n3)
         m = self.meta
@@ -125,19 +133,27 @@ class DecodeArtifact:
                 f"l1/l2/l3 = {n1}/{n2}/{n3} vs caps {m['cap1']}/"
                 f"{m['cap2']}/{m['cap3']}; the AOT artifact cannot "
                 f"escalate — re-export with larger caps")
-        return sparse2_to_grid(c1, c2, i1, v2, i2,
-                               min(n1, m["cap1"]), min(n2, m["cap2"]),
-                               m["res"], m["b1"], m["b2"],
-                               dequant_scale=m.get("quant_scale"))
+        return (c1, c2, i1, v2, i2, min(n1, m["cap1"]),
+                min(n2, m["cap2"]))
 
     def mesh(self, z, iso: float = 0.0,
              check_capacity: bool = True) -> tuple:
-        """z -> (verts, faces) through marching cubes. Raises
-        CapacityExceeded on surface-shell overflow (see grid())."""
-        from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
-            extract_mesh)
-        return extract_mesh(self.grid(z, check_capacity=check_capacity),
-                            iso=iso)
+        """z -> (verts, faces) through marching cubes (payload-direct
+        at iso=0 when the native lib is built — serve.py's host fast
+        path; dense reconstruction otherwise). Raises CapacityExceeded
+        on surface-shell overflow (see grid())."""
+        m = self.meta
+        if (m.get("b1"), m["b2"]) != (16, 4):  # non-default export
+            from latent_diffusion_models_for_shape_sdfs_tpu.ops \
+                .isosurface import extract_mesh
+            return extract_mesh(
+                self.grid(z, check_capacity=check_capacity), iso=iso)
+        from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+            _mesh_v2_payload)
+        c1, c2, i1, v2, i2, n1, n2 = self._payload_checked(
+            z, check_capacity)
+        return _mesh_v2_payload(c1, c2, i1, v2, i2, n1, n2, m["res"],
+                                iso, m.get("quant_scale"))
 
 
 def load_decode_program(blob_or_path) -> DecodeArtifact:

@@ -161,6 +161,20 @@ def test_payload_direct_mc_matches_grid_mc():
         np.testing.assert_array_equal(fp, fd)
 
 
+def test_serve_meshes_nonzero_iso_falls_back():
+    """iso != 0 must bypass the payload-direct/block-scan fast paths
+    (their active-block guarantee only holds at the zero level) and
+    still produce the right level-set geometry via the dense scan."""
+    z = np.asarray([0.5, 0.0], np.float32)  # r = 0.4
+    out = list(serve_meshes(sphere_apply, [z], res=64, iso=0.05,
+                            out_dtype="float32"))
+    v, f, st = out[0]
+    assert len(f) > 100
+    rad = np.linalg.norm(v, axis=1)
+    # iso=0.05 level of an exact sphere SDF sits at r + iso
+    assert abs(np.median(rad) - 0.45) < 0.02
+
+
 def test_serve_meshes_int8_default_bucketing():
     """Default serving (int8 + bucketed rows): correct geometry and a
     payload several times smaller than the cap-sized v1 payload."""
