@@ -307,10 +307,14 @@ def main():
     report["held_out_opt"] = info
     print(f"held-out chamfer: {report['held_out_chamfer']:.2e}", flush=True)
 
-    # ---------------- stage 2 + samples
-    dcfg = DiffConfig(denoiser=DenoiserConfig(), timesteps=1000,
-                      batch_size=64, num_steps=30_000, scan_chunk=1000,
-                      lr=2e-4, seed=0)
+    # ---------------- stage 2 + samples (the diff_sweep winner config
+    # "big300k" — h1024/b6, cosine — at a 128-code-appropriate step
+    # count; the round-2 default-width 30k run left 2/64 empty samples)
+    dcfg = DiffConfig(denoiser=DenoiserConfig(hidden_dim=1024,
+                                              num_blocks=6),
+                      timesteps=1000, batch_size=64, num_steps=60_000,
+                      scan_chunk=1000, lr=2e-4, lr_schedule="cosine",
+                      warmup_steps=2000, seed=0)
     t0 = time.time()
     model, dstate, (mu, sigma), dloss = train_diffusion(
         dcfg, state.codes, logger=MetricLogger(OUT / "train_diff.jsonl"))
