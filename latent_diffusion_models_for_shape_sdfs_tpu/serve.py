@@ -1,18 +1,17 @@
 """End-to-end mesh-generation serving path.
 
 Latents (e.g. from the on-device DDIM sampler) -> three-level sparse
-hierarchical decode -> COMPACT near-surface payload to host (~12x less
-d2h than a full 256^3 grid; the host link, not TPU compute, bounds
-end-to-end mesh serving) -> host grid reconstruction -> marching cubes
-(native C++ fast path when built).
+hierarchical decode -> COMPACT int8 near-surface payload to host (~55x
+less d2h than a full 256^3 grid; the host link, not TPU compute, bounds
+end-to-end mesh serving) -> payload-direct native marching cubes (the
+dense grid is never materialized on the host; in-process C++ lib, with
+reconstruct + dense-scan MC as the fallback).
 
 Pipelining comes from two places: JAX async dispatch (all device
 decodes are enqueued up front, so the device is decoding shape i+1
 while the host works on shape i) and a small host thread pool that
-overlaps grid reconstruction + marching cubes ACROSS shapes — the host
-meshing (~hundreds of ms/shape, native MC runs as a subprocess so it
-parallelizes trivially) dominated end-to-end serving once the d2h was
-overlapped.
+overlaps payload meshing ACROSS shapes (the native lib holds no global
+state and releases the GIL inside ctypes calls).
 
 SURVEY.md section 3.4 is the underlying call stack; this module is the
 production packaging of it (one call from latents to meshes).
@@ -26,6 +25,12 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+    decode_grid_hierarchical3_sparse2, hier3_int8_scale, sparse2_to_grid,
+    sparse2_fill2, _sparse2_dequant)
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+    extract_mesh, extract_mesh_payload)
+
 
 def _auto_workers() -> int:
     """Meshing thread count: cores+1 capped at 4 — the +1 keeps one
@@ -33,13 +38,6 @@ def _auto_workers() -> int:
     host just contend (workers=2 measured faster than 4 on a 1-core
     host: 312 vs 344 ms/mesh at 256^3)."""
     return min(4, (os.cpu_count() or 1) + 1)
-
-from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-    decode_grid_hierarchical3_sparse, decode_grid_hierarchical3_sparse2,
-    hier3_int8_scale, sparse_to_grid, sparse2_to_grid, sparse2_fill2,
-    _sparse2_dequant)
-from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
-    extract_mesh, extract_mesh_payload)
 
 
 def _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2, n1, n2, res, iso, dq):
