@@ -44,6 +44,25 @@ struct BlockVF {
   const int32_t* rank;  // [nb^3]
   int R, b, nb;
   float operator()(int64_t g) const {
+    // R and b are powers of two on every decode path (res % 16 == 0
+    // with 2^k factors; b in {2,4}); shift/mask addressing saves ~2x
+    // on the 10^7-call meshing hot loop vs div/mod. The general
+    // fallback keeps correctness for exotic resolutions.
+    if ((R & (R - 1)) == 0 && (b & (b - 1)) == 0) {
+      const int sR = __builtin_ctz(static_cast<unsigned>(R));
+      const int sB = __builtin_ctz(static_cast<unsigned>(b));
+      const int z = static_cast<int>(g & (R - 1));
+      const int y = static_cast<int>((g >> sR) & (R - 1));
+      const int x = static_cast<int>(g >> (2 * sR));
+      const int64_t id =
+          ((static_cast<int64_t>(x >> sB) * nb) + (y >> sB)) * nb
+          + (z >> sB);
+      const int32_t r = rank[id];
+      if (r < 0) return fill[id];
+      const int m = b - 1;
+      return vals[(static_cast<int64_t>(r) << (3 * sB)) +
+                  ((((x & m) << sB) + (y & m)) << sB) + (z & m)];
+    }
     const int z = static_cast<int>(g % R);
     const int y = static_cast<int>((g / R) % R);
     const int x = static_cast<int>(g / (static_cast<int64_t>(R) * R));
@@ -181,20 +200,23 @@ inline MeshOut polygonize(VF&& value, int R, float iso,
   };
 
   int64_t cg[8];
+  float cv[8];
   for (int64_t cell : cells) {
     const int z = static_cast<int>(cell % n);
     const int y = static_cast<int>((cell / n) % n);
     const int x = static_cast<int>(cell / (static_cast<int64_t>(n) * n));
-    for (int c = 0; c < 8; ++c)
+    for (int c = 0; c < 8; ++c) {
       cg[c] = gid(x + kCorners[c][0], y + kCorners[c][1],
                   z + kCorners[c][2]);
+      cv[c] = value(cg[c]);  // 8 loads/cell, not 24 (per-tet corners)
+    }
     for (const auto& tet : kTets) {
       int64_t tg[4];
       float tv[4];
       int mask = 0;
       for (int i = 0; i < 4; ++i) {
         tg[i] = cg[tet[i]];
-        tv[i] = value(tg[i]);
+        tv[i] = cv[tet[i]];
         if (tv[i] < iso) mask |= 1 << i;
       }
       if (mask == 0 || mask == 15) continue;
