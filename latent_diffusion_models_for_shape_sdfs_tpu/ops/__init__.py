@@ -1,6 +1,7 @@
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (  # noqa: F401
     marching_tetrahedra,
     extract_mesh,
+    extract_mesh_payload,
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: F401
     make_grid_points,
@@ -9,4 +10,8 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: 
     flax_apply_fn,
     decode_grid_hierarchical,
     decode_grid_hierarchical_device,
+    decode_grid_hierarchical3_sparse2,
+    sparse2_to_grid,
+    sparse2_fill2,
+    hier3_int8_scale,
 )
