@@ -74,7 +74,8 @@ def cmd_sample(args):
         obs_xyz, obs_sdf = _load_obs_rows(args.obs)
     meshes = run_sample(args.exp_dir, num=args.num, res=args.res,
                         class_id=args.class_id, seed=args.seed,
-                        obs_xyz=obs_xyz, obs_sdf=obs_sdf)
+                        obs_xyz=obs_xyz, obs_sdf=obs_sdf,
+                        mesh_format=args.format)
     print(f"wrote {len(meshes)} meshes under "
           f"{pathlib.Path(args.exp_dir) / 'samples'}")
 
@@ -97,9 +98,11 @@ def cmd_reconstruct(args):
     idx = np.random.default_rng(2).permutation(len(rows))[:args.points]
     rows = rows[idx]
     _, v, f = run_reconstruct(args.exp_dir, rows[:, :3], rows[:, 3],
-                              name=args.name, res=args.res)
+                              name=args.name, res=args.res,
+                              mesh_format=args.format)
     print(f"reconstructed mesh: {len(v)} verts, {len(f)} faces -> "
-          f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}.obj")
+          f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}"
+          f".{args.format}")
 
 
 def cmd_eval(args):
@@ -148,9 +151,9 @@ def cmd_decode(args):
         meshes = ((lambda g: extract_mesh(g))(
             decode_grid_adaptive(apply_fn, z, res)) for z in zs)
     for name, (v, f) in zip(names, meshes):
-        meshio.write_obj(out_dir / f"{name}.obj", v, f)
+        meshio.write_mesh(out_dir / f"{name}.{args.format}", v, f)
         print(f"{name}: {len(v)} verts, {len(f)} faces -> "
-              f"{out_dir / name}.obj")
+              f"{out_dir / name}.{args.format}")
 
 
 def cmd_export_decoder(args):
@@ -233,6 +236,8 @@ def main(argv=None):
     s.add_argument("--obs", default=None, metavar="NPZ",
                    help="observed SDF samples (.npz, pos/neg or [N,4] rows)"
                         " for partial-SDF-conditioned sampling (config 4)")
+    s.add_argument("--format", choices=("obj", "ply"), default="obj",
+                   help="mesh output format (ply = binary little-endian)")
     s.set_defaults(fn=cmd_sample)
 
     s = sub.add_parser("reconstruct", help="latent-optimize to a mesh")
@@ -244,6 +249,8 @@ def main(argv=None):
     s.add_argument("--name", default="recon")
     s.add_argument("--res", type=int, default=None)
     s.add_argument("--seed", type=int, default=None)
+    s.add_argument("--format", choices=("obj", "ply"), default="obj",
+                   help="mesh output format (ply = binary little-endian)")
     s.set_defaults(fn=cmd_reconstruct)
 
     s = sub.add_parser("eval", help="chamfer-L2 vs analytic ground truth")
@@ -259,6 +266,8 @@ def main(argv=None):
                    help="stage-1 latent-table row ids")
     s.add_argument("--res", type=int, default=128)
     s.add_argument("--out", help="output dir (default <exp>/decoded)")
+    s.add_argument("--format", choices=("obj", "ply"), default="obj",
+                   help="mesh output format (ply = binary little-endian)")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("export-decoder", help="AOT serving artifact "

@@ -207,9 +207,11 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
                seed: Optional[int] = None, use_ema: bool = True,
                write_meshes: bool = True,
                obs_xyz: Optional[np.ndarray] = None,
-               obs_sdf: Optional[np.ndarray] = None) -> list:
+               obs_sdf: Optional[np.ndarray] = None,
+               mesh_format: str = "obj") -> list:
     """Sample latents with DDPM/DDIM, decode to meshes under <exp>/samples.
-    Returns list of (verts, faces).
+    Returns list of (verts, faces). `mesh_format`: "obj" or "ply"
+    (binary little-endian, the lineage's output format).
 
     `obs_xyz [N,3]` / `obs_sdf [N]`: observed SDF samples of a target shape
     for partial-SDF-conditioned generation (BASELINE config 4) — requires a
@@ -272,8 +274,8 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
                 out_dtype=payload_dtype)):
             meshes.append((v, f))
             if write_meshes:
-                meshio.write_obj(lay["samples"] / f"sample_{i:03d}.obj",
-                                 v, f)
+                meshio.write_mesh(
+                    lay["samples"] / f"sample_{i:03d}.{mesh_format}", v, f)
         return meshes
     for i in range(num):
         if sc.hierarchical:
@@ -285,7 +287,8 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
         v, f = extract_mesh(grid, iso=sc.iso_level)
         meshes.append((v, f))
         if write_meshes:
-            meshio.write_obj(lay["samples"] / f"sample_{i:03d}.obj", v, f)
+            meshio.write_mesh(
+                lay["samples"] / f"sample_{i:03d}.{mesh_format}", v, f)
     return meshes
 
 
@@ -293,9 +296,10 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
 
 
 def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
-                    name: str = "recon", res: Optional[int] = None) -> tuple:
-    """Latent-optimize against observations, decode, write mesh.
-    Returns (z, verts, faces)."""
+                    name: str = "recon", res: Optional[int] = None,
+                    mesh_format: str = "obj") -> tuple:
+    """Latent-optimize against observations, decode, write mesh
+    (`mesh_format`: "obj" or binary "ply"). Returns (z, verts, faces)."""
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
         reconstruct_latent)
     cfg = ExperimentConfig.load(exp_dir)
@@ -309,7 +313,7 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
     grid = np.asarray(decode_grid(apply_fn, z, res,
                                   chunk=cfg.sample.grid_chunk))
     v, f = extract_mesh(grid)
-    meshio.write_obj(lay["reconstructions"] / f"{name}.obj", v, f)
+    meshio.write_mesh(lay["reconstructions"] / f"{name}.{mesh_format}", v, f)
     return z, v, f
 
 
@@ -318,21 +322,47 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
 
 def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
     """Chamfer-L2 of each training scene's reconstruction-from-latent
-    against its ground truth (analytic sources only for GT sampling)."""
+    against its ground truth.
+
+    GT surfaces: `analytic:` sources sample the closed-form surface;
+    `sdf:` sources use the `surface` point array the native preprocess
+    tool stores per scene (the lineage's SampleVisibleMeshSurface
+    output, in the same normalized frame the decoder trains in)."""
     import json
+    import pathlib as _pl
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
         chamfer_l2, sample_mesh_surface)
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
-    if not cfg.data_source.startswith("analytic:"):
-        raise ValueError("run_eval needs analytic GT surfaces offline")
+    if cfg.data_source.startswith("analytic:"):
+        shapes = analytic.make_synthetic_split(
+            cfg.data_source.split(":", 1)[1], cfg.ad.num_scenes,
+            seed=cfg.ad.seed)
+
+        def gt_points(i):
+            return analytic.sample_surface(shapes[i], num_points,
+                                           np.random.default_rng(i))
+        n_scenes = len(shapes)
+    elif cfg.data_source.startswith("sdf:"):
+        files = sorted(_pl.Path(
+            cfg.data_source.split(":", 1)[1]).glob("*.npz"))
+
+        def gt_points(i):
+            with np.load(files[i]) as z:
+                if "surface" not in z.files:
+                    raise ValueError(
+                        f"{files[i]} has no 'surface' array; re-run the "
+                        "native preprocess tool to store GT surface "
+                        "samples for eval")
+                return np.asarray(z["surface"], np.float32)[:num_points]
+        n_scenes = len(files)
+    else:
+        raise ValueError(f"run_eval: no GT surface source for "
+                         f"{cfg.data_source!r}")
     decoder, ad_state = load_ad_state(exp_dir)
-    shapes = analytic.make_synthetic_split(
-        cfg.data_source.split(":", 1)[1], cfg.ad.num_scenes,
-        seed=cfg.ad.seed)
     apply_fn = make_fast_apply(decoder, ad_state.params)
     results = {}
-    for i, shape in enumerate(shapes):
+    for i in range(n_scenes):
         grid = np.asarray(decode_grid(apply_fn, ad_state.codes[i],
                                       cfg.sample.grid_res,
                                       chunk=cfg.sample.grid_chunk))
@@ -341,9 +371,7 @@ def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
             results[str(i)] = float("inf")
             continue
         pred = sample_mesh_surface(v, f, num_points, seed=i)
-        gt = analytic.sample_surface(shape, num_points,
-                                     np.random.default_rng(i))
-        results[str(i)] = chamfer_l2(pred, gt)
+        results[str(i)] = chamfer_l2(pred, gt_points(i))
     finite = [x for x in results.values() if np.isfinite(x)]
     out = {"chamfer_l2": results,
            "mean": float(np.mean(finite)) if finite else float("inf"),

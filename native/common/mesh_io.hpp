@@ -1,5 +1,11 @@
-// ASCII OBJ / PLY triangle-mesh loading (fan-triangulates polygons).
+// OBJ / PLY triangle-mesh loading (fan-triangulates polygons).
+// PLY: ascii AND binary_little_endian 1.0 — vertex x/y/z located by
+// property name (extra per-vertex properties skipped), faces read from
+// the leading index-list property. Mirrors the Python reader in
+// latent_diffusion_models_for_shape_sdfs_tpu/utils/meshio.py.
 #pragma once
+#include <cstdint>
+#include <cstring>
 #include <fstream>
 #include <sstream>
 #include <stdexcept>
@@ -39,60 +45,202 @@ inline Mesh load_obj(const std::string& path) {
   return m;
 }
 
-inline Mesh load_ply_ascii(const std::string& path) {
-  std::ifstream in(path);
+namespace ply_detail {
+
+inline int scalar_size(const std::string& t) {
+  if (t == "char" || t == "int8" || t == "uchar" || t == "uint8") return 1;
+  if (t == "short" || t == "int16" || t == "ushort" || t == "uint16")
+    return 2;
+  if (t == "int" || t == "int32" || t == "uint" || t == "uint32" ||
+      t == "float" || t == "float32")
+    return 4;
+  if (t == "double" || t == "float64") return 8;
+  throw std::runtime_error("unknown PLY scalar type: " + t);
+}
+
+// Read one little-endian scalar at p as double (values) / long (indices).
+inline double read_scalar(const unsigned char* p, const std::string& t) {
+  auto as = [&](auto v) {
+    std::memcpy(&v, p, sizeof(v));
+    return static_cast<double>(v);
+  };
+  if (t == "char" || t == "int8") return as(int8_t{});
+  if (t == "uchar" || t == "uint8") return as(uint8_t{});
+  if (t == "short" || t == "int16") return as(int16_t{});
+  if (t == "ushort" || t == "uint16") return as(uint16_t{});
+  if (t == "int" || t == "int32") return as(int32_t{});
+  if (t == "uint" || t == "uint32") return as(uint32_t{});
+  if (t == "float" || t == "float32") return as(float{});
+  return as(double{});
+}
+
+struct Prop {
+  bool is_list = false;
+  std::string type;        // scalar type, or list index type
+  std::string count_type;  // list count type
+  std::string name;
+};
+
+struct Element {
+  std::string name;
+  size_t count = 0;
+  std::vector<Prop> props;
+};
+
+}  // namespace ply_detail
+
+inline Mesh load_ply(const std::string& path) {
+  using namespace ply_detail;
+  std::ifstream in(path, std::ios::binary);
   if (!in) throw std::runtime_error("cannot open " + path);
-  std::string line;
-  size_t n_v = 0, n_f = 0;
-  int xyz_props = 0;
-  bool in_vertex_element = false;
+  std::string line, fmt;
+  std::vector<Element> elements;
   while (std::getline(in, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
     std::istringstream ss(line);
     std::string tag;
     ss >> tag;
     if (tag == "format") {
-      std::string fmt;
       ss >> fmt;
-      if (fmt != "ascii")
-        throw std::runtime_error("only ascii PLY supported");
     } else if (tag == "element") {
-      std::string what;
-      ss >> what;
-      in_vertex_element = (what == "vertex");
-      if (what == "vertex") ss >> n_v;
-      if (what == "face") ss >> n_f;
-    } else if (tag == "property" && in_vertex_element) {
-      ++xyz_props;
+      Element e;
+      ss >> e.name >> e.count;
+      elements.push_back(e);
+    } else if (tag == "property" && !elements.empty()) {
+      Prop p;
+      std::string t;
+      ss >> t;
+      if (t == "list") {
+        p.is_list = true;
+        ss >> p.count_type >> p.type >> p.name;
+      } else {
+        p.type = t;
+        ss >> p.name;
+      }
+      elements.back().props.push_back(p);
     } else if (tag == "end_header") {
       break;
     }
   }
+  if (fmt != "ascii" && fmt != "binary_little_endian")
+    throw std::runtime_error("unsupported PLY format: " + fmt);
+
   Mesh m;
-  m.verts.reserve(n_v);
-  for (size_t i = 0; i < n_v; ++i) {
-    std::getline(in, line);
-    std::istringstream ss(line);
-    Vec3 v;
-    ss >> v.x >> v.y >> v.z;
-    m.verts.push_back(v);
+  if (fmt == "ascii") {
+    for (const auto& e : elements) {
+      if (e.name == "vertex") {
+        int cx = -1, cy = -1, cz = -1;
+        for (size_t i = 0; i < e.props.size(); ++i) {
+          if (e.props[i].name == "x") cx = (int)i;
+          if (e.props[i].name == "y") cy = (int)i;
+          if (e.props[i].name == "z") cz = (int)i;
+        }
+        if (cx < 0 || cy < 0 || cz < 0)
+          throw std::runtime_error("PLY vertex needs x/y/z");
+        m.verts.reserve(e.count);
+        for (size_t i = 0; i < e.count; ++i) {
+          std::getline(in, line);
+          std::istringstream ss(line);
+          std::vector<double> vals(e.props.size());
+          for (auto& v : vals) ss >> v;
+          m.verts.push_back({(float)vals[cx], (float)vals[cy],
+                             (float)vals[cz]});
+        }
+      } else if (e.name == "face") {
+        for (size_t i = 0; i < e.count; ++i) {
+          std::getline(in, line);
+          std::istringstream ss(line);
+          int k;
+          ss >> k;
+          std::vector<int> idx(k);
+          for (int j = 0; j < k; ++j) ss >> idx[j];
+          for (int j = 1; j + 1 < k; ++j)
+            m.faces.push_back({idx[0], idx[j], idx[j + 1]});
+        }
+      } else {
+        for (size_t i = 0; i < e.count; ++i) std::getline(in, line);
+      }
+    }
+    return m;
   }
-  for (size_t i = 0; i < n_f; ++i) {
-    std::getline(in, line);
-    std::istringstream ss(line);
-    int k;
-    ss >> k;
-    std::vector<int> idx(k);
-    for (int j = 0; j < k; ++j) ss >> idx[j];
-    for (int j = 1; j + 1 < k; ++j)
-      m.faces.push_back({idx[0], idx[j], idx[j + 1]});
+
+  // binary_little_endian: slurp the rest of the stream, walk records
+  std::vector<unsigned char> buf{std::istreambuf_iterator<char>(in),
+                                 std::istreambuf_iterator<char>()};
+  size_t pos = 0;
+  auto need = [&](size_t n) {
+    if (pos + n > buf.size())
+      throw std::runtime_error("truncated binary PLY");
+  };
+  for (const auto& e : elements) {
+    if (e.name == "vertex") {
+      int cx = -1, cy = -1, cz = -1;
+      size_t stride = 0;
+      std::vector<size_t> offs(e.props.size());
+      for (size_t i = 0; i < e.props.size(); ++i) {
+        if (e.props[i].is_list)
+          throw std::runtime_error("list property on vertex unsupported");
+        offs[i] = stride;
+        stride += scalar_size(e.props[i].type);
+        if (e.props[i].name == "x") cx = (int)i;
+        if (e.props[i].name == "y") cy = (int)i;
+        if (e.props[i].name == "z") cz = (int)i;
+      }
+      if (cx < 0 || cy < 0 || cz < 0)
+        throw std::runtime_error("PLY vertex needs x/y/z");
+      need(stride * e.count);
+      m.verts.reserve(e.count);
+      for (size_t i = 0; i < e.count; ++i) {
+        const unsigned char* p = buf.data() + pos + i * stride;
+        m.verts.push_back(
+            {(float)read_scalar(p + offs[cx], e.props[cx].type),
+             (float)read_scalar(p + offs[cy], e.props[cy].type),
+             (float)read_scalar(p + offs[cz], e.props[cz].type)});
+      }
+      pos += stride * e.count;
+    } else if (e.name == "face") {
+      if (e.props.empty() || !e.props[0].is_list)
+        throw std::runtime_error("face element must lead with a list");
+      if (e.props.size() != 1)
+        throw std::runtime_error("extra face properties unsupported");
+      const size_t csz = scalar_size(e.props[0].count_type);
+      const size_t isz = scalar_size(e.props[0].type);
+      for (size_t i = 0; i < e.count; ++i) {
+        need(csz);
+        const int k =
+            (int)read_scalar(buf.data() + pos, e.props[0].count_type);
+        pos += csz;
+        need(isz * k);
+        std::vector<int> idx(k);
+        for (int j = 0; j < k; ++j)
+          idx[j] = (int)read_scalar(buf.data() + pos + j * isz,
+                                    e.props[0].type);
+        pos += isz * k;
+        for (int j = 1; j + 1 < k; ++j)
+          m.faces.push_back({idx[0], idx[j], idx[j + 1]});
+      }
+    } else {  // skip unknown scalar-only elements
+      size_t stride = 0;
+      for (const auto& p : e.props) {
+        if (p.is_list)
+          throw std::runtime_error(
+              "list property on unknown element unsupported");
+        stride += scalar_size(p.type);
+      }
+      need(stride * e.count);
+      pos += stride * e.count;
+    }
   }
   return m;
 }
+
+// Back-compat name (now handles ascii and binary).
+inline Mesh load_ply_ascii(const std::string& path) { return load_ply(path); }
 
 inline Mesh load_mesh(const std::string& path) {
   auto dot = path.rfind('.');
   std::string ext = dot == std::string::npos ? "" : path.substr(dot + 1);
   if (ext == "obj") return load_obj(path);
-  if (ext == "ply") return load_ply_ascii(path);
+  if (ext == "ply") return load_ply(path);
   throw std::runtime_error("unsupported mesh format: " + path);
 }

@@ -148,11 +148,23 @@ int main(int argc, char** argv) {
   }
   const float center_arr[3] = {norm_center.x, norm_center.y, norm_center.z};
   const float scale_arr[1] = {norm_scale};
+  // GT surface samples for Chamfer evaluation (the canonical lineage's
+  // SampleVisibleMeshSurface stage, folded into this tool): a prefix of
+  // the area-weighted surface draws, in normalized coordinates.
+  const size_t n_gt = std::min<size_t>(30000, base.size());
+  std::vector<float> surf;
+  surf.reserve(n_gt * 3);
+  for (size_t i = 0; i < n_gt; ++i) {
+    surf.push_back(base[i].x);
+    surf.push_back(base[i].y);
+    surf.push_back(base[i].z);
+  }
   npy::save_npz_f32(out_path, {
       {"pos", {pos.data(), {pos.size() / 4, 4}}},
       {"neg", {neg.data(), {neg.size() / 4, 4}}},
       {"center", {center_arr, {3}}},
       {"scale", {scale_arr, {1}}},
+      {"surface", {surf.data(), {n_gt, 3}}},
   });
   std::printf("%s: %zu samples (%zu pos, %zu neg) -> %s\n",
               mesh_path.c_str(), queries.size(), pos.size() / 4,

@@ -112,6 +112,14 @@ def test_decode_scenes_and_codes_file(exp, tmp_path):
     v_a, _ = meshio.read_obj(objs[0])
     v_b, _ = meshio.read_obj(tmp_path / "dec" / "code_000.obj")
     np.testing.assert_array_equal(v_a, v_b)
+    # --format ply writes binary PLY with the same geometry (PLY carries
+    # exact f32 verts; OBJ text is %.6f-rounded)
+    main(["decode", str(exp), "--codes", str(tmp_path / "z.npy"),
+          "--res", "24", "--out", str(tmp_path / "dec_ply"),
+          "--format", "ply"])
+    v_p, f_p = meshio.read_ply(tmp_path / "dec_ply" / "code_000.ply")
+    np.testing.assert_allclose(v_p, v_b, atol=1e-6)
+    assert len(f_p) > 0
 
 
 def test_train_ad_resume(exp):

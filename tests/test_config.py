@@ -68,3 +68,69 @@ def test_meshio_roundtrip(tmp_path):
     v3, f3 = meshio.read_ply_ascii(tmp_path / "m.ply")
     np.testing.assert_allclose(v3, verts, atol=1e-5)
     np.testing.assert_array_equal(f3, faces)
+    # binary little-endian PLY: exact f32 round-trip
+    meshio.write_ply(tmp_path / "b.ply", verts, faces, binary=True)
+    v4, f4 = meshio.read_ply(tmp_path / "b.ply")
+    np.testing.assert_array_equal(v4, verts)
+    np.testing.assert_array_equal(f4, faces)
+    # write_mesh dispatches on extension (.ply -> binary)
+    meshio.write_mesh(tmp_path / "d.ply", verts, faces)
+    v5, f5 = meshio.read_ply(tmp_path / "d.ply")
+    np.testing.assert_array_equal(v5, verts)
+    np.testing.assert_array_equal(f5, faces)
+
+
+def test_read_ply_foreign_layouts(tmp_path):
+    """Reader handles external-tool layouts: extra vertex properties
+    (normals), double precision coords, uint face indices, quads."""
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     np.float64)
+    quad = [0, 1, 2, 3]
+    # --- binary: nx/ny/nz alongside xyz, double coords, quad face
+    p = tmp_path / "n.ply"
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              "element vertex 4\n"
+              "property double x\nproperty double y\nproperty double z\n"
+              "property float nx\nproperty float ny\nproperty float nz\n"
+              "element face 1\n"
+              "property list uchar uint vertex_indices\nend_header\n")
+    rec = np.zeros(4, np.dtype([("xyz", "<f8", (3,)), ("n", "<f4", (3,))]))
+    rec["xyz"] = verts
+    with p.open("wb") as f:
+        f.write(header.encode())
+        f.write(rec.tobytes())
+        f.write(np.uint8(4).tobytes())
+        f.write(np.asarray(quad, "<u4").tobytes())
+    v, fc = meshio.read_ply(p)
+    np.testing.assert_allclose(v, verts, atol=1e-7)
+    np.testing.assert_array_equal(fc, [[0, 1, 2], [0, 2, 3]])  # fan
+    # --- ascii with normals + quad
+    q = tmp_path / "a.ply"
+    q.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        + "".join(f"{x} {y} {z} 0 0 1\n" for x, y, z in verts)
+        + "4 0 1 2 3\n")
+    v2, f2 = meshio.read_ply(q)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, [[0, 1, 2], [0, 2, 3]])
+    # --- binary with RAGGED faces (quad + triangle): per-record walk
+    r = tmp_path / "r.ply"
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              "element vertex 4\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "element face 2\n"
+              "property list uchar int vertex_indices\nend_header\n")
+    with r.open("wb") as f:
+        f.write(header.encode())
+        f.write(np.asarray(verts, "<f4").tobytes())
+        f.write(np.uint8(4).tobytes())
+        f.write(np.asarray(quad, "<i4").tobytes())
+        f.write(np.uint8(3).tobytes())
+        f.write(np.asarray([3, 1, 0], "<i4").tobytes())
+    v3, f3 = meshio.read_ply(r)
+    np.testing.assert_allclose(v3, verts, atol=1e-6)
+    np.testing.assert_array_equal(f3, [[0, 1, 2], [0, 2, 3], [3, 1, 0]])

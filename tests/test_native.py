@@ -91,6 +91,32 @@ def test_preprocess_sphere_mesh(tmp_path):
 
 
 @needs_native
+def test_preprocess_ingests_binary_ply(tmp_path):
+    """Native loader parity across formats: the SAME icosphere written as
+    OBJ, ascii PLY, and binary PLY must produce bit-identical sample sets
+    (preprocess is seeded+deterministic; verts are quantized to 1/64 so
+    the %.6f ascii writers round-trip the f32 coords exactly)."""
+    verts, faces = _icosphere(subdiv=2)
+    verts = (np.round(verts * 64.0) / 64.0).astype(np.float32)
+    outs = {}
+    for name, writer in (
+            ("m.obj", meshio.write_obj),
+            ("a.ply", meshio.write_ply),
+            ("b.ply", lambda p, v, f: meshio.write_ply(p, v, f,
+                                                       binary=True))):
+        mesh_path = tmp_path / name
+        writer(mesh_path, verts, faces)
+        out = tmp_path / (name + ".npz")
+        subprocess.run([str(BUILD / "preprocess_mesh"), str(mesh_path),
+                        str(out), "4000"], check=True, capture_output=True)
+        with np.load(out) as z:
+            outs[name] = (z["pos"].copy(), z["neg"].copy())
+    for name in ("a.ply", "b.ply"):
+        np.testing.assert_array_equal(outs[name][0], outs["m.obj"][0])
+        np.testing.assert_array_equal(outs[name][1], outs["m.obj"][1])
+
+
+@needs_native
 def test_cpp_marching_cubes_matches_python():
     res = 33
     pts = make_grid_points(res)

@@ -28,10 +28,16 @@ def test_obj_to_trained_mesh_chain(tmp_path):
     files = list(sdf_dir.glob("*.npz"))
     assert len(files) == 1
     with np.load(files[0]) as z:
-        assert {"pos", "neg", "center", "scale"} <= set(z.files)
+        assert {"pos", "neg", "center", "scale", "surface"} <= set(z.files)
         assert len(z["pos"]) + len(z["neg"]) >= 50_000
         center = np.asarray(z["center"], np.float32)
         scale = float(z["scale"][0])
+        gt_surf = np.asarray(z["surface"], np.float32)
+    # GT surface samples (the lineage's SampleVisibleMeshSurface output,
+    # folded into preprocess): on the normalized icosphere's surface
+    assert gt_surf.shape == (30_000, 3)
+    r = np.linalg.norm(gt_surf, axis=1)
+    assert abs(np.median(r) - 0.5 * scale) < 2e-2
     # icosphere r=0.5 at origin -> center ~0, scale = 1/(0.5*1.03)
     assert np.abs(center).max() < 1e-3
     assert abs(scale - 1.0 / (0.5 * 1.03)) < 1e-3
@@ -52,7 +58,8 @@ def test_obj_to_trained_mesh_chain(tmp_path):
           "--set", "ad.lr_decoder=0.001",
           "--set", "ad.lr_latent=0.002",
           "--set", "ad.lr_decay_interval=125",
-          "--set", "ad.snapshot_every=0"])
+          "--set", "ad.snapshot_every=0",
+          "--set", "sample.grid_res=48"])
     main(["train-ad", str(exp)])
 
     # 4. decode the learned shape, compare against the source surface
@@ -79,3 +86,15 @@ def test_obj_to_trained_mesh_chain(tmp_path):
     ch = chamfer_l2(pred, gt)
     # squared-distance chamfer; normalized-frame grid h ~= 0.043 at res 48
     assert ch < 2e-3, f"chain chamfer too high: {ch}"
+    # eval WITHOUT the source mesh: the stored surface samples alone
+    # (normalized frame; squared chamfer scales by scale^2)
+    pred_n = sample_mesh_surface(pv, pf, 10_000, seed=2)
+    ch_n = chamfer_l2(pred_n, gt_surf[:10_000])
+    assert ch_n < 2e-3 * scale ** 2, f"stored-surface chamfer: {ch_n}"
+
+    # 5. `eval` CLI works for sdf: sources via the stored GT surfaces
+    import json
+    main(["eval", str(exp), "--points", "10000"])
+    ev = json.loads((exp / "evals" / "chamfer.json").read_text())
+    assert ev["num_failed"] == 0
+    assert ev["mean"] < 2e-3 * scale ** 2, ev
