@@ -116,6 +116,44 @@ def test_preprocess_ingests_binary_ply(tmp_path):
         np.testing.assert_array_equal(outs[name][1], outs["m.obj"][1])
 
 
+def _canonical_soup(v, f):
+    """Order-independent mesh fingerprint: triangle soup with each
+    triangle rotated so its lexicographically-smallest vertex leads
+    (orientation preserved), then all triangles lexsorted."""
+    tri = np.round(np.asarray(v, np.float64)[np.asarray(f)], 5)  # [F,3,3]
+    rots = np.stack([tri, tri[:, [1, 2, 0]], tri[:, [2, 0, 1]]], axis=1)
+    flat = rots.reshape(len(tri), 3, 9)
+    lead = np.lexsort(flat.transpose(2, 0, 1)[::-1])[:, 0]
+    canon = flat[np.arange(len(tri)), lead]
+    return canon[np.lexsort(canon.T[::-1])]
+
+
+def test_cpp_mc_noise_grid_matches_python():
+    """Adversarial noise grid: nearly every cell crosses with almost no
+    vertex sharing — peak verts-per-cell load, exercising the edge-map
+    growth path (EdgeMap rehash) and degenerate-triangle welds. The
+    native mesh must equal the pure-Python mesher up to emission order
+    (the parallel crossing-scan emits cells in a different order)."""
+    lib = isosurface._native_mc_lib()
+    if lib is None:
+        pytest.skip("native marching cubes not built")
+    rng = np.random.default_rng(7)
+    res = 33
+    grid = rng.normal(size=(res, res, res)).astype(np.float32)
+    v_cpp, f_cpp = isosurface._extract_mesh_clib(
+        lib, np.ascontiguousarray(grid), 0.0, (-1, -1, -1),
+        2.0 / (res - 1))
+    v_py, f_py = isosurface.marching_tetrahedra(grid)
+    assert len(v_cpp) == len(v_py)
+    assert len(f_cpp) == len(f_py)
+    np.testing.assert_allclose(
+        _canonical_soup(v_cpp, f_cpp), _canonical_soup(v_py, f_py),
+        atol=2e-5)
+    # initial EdgeMap cap = next_pow2(2*32^3+16) = 131072, growth at
+    # load 0.5 -> 65536 inserts; 119k verts proves the rehash ran
+    assert len(v_cpp) > 65536
+
+
 @needs_native
 def test_cpp_marching_cubes_matches_python():
     res = 33
