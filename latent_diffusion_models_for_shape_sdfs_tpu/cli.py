@@ -80,6 +80,17 @@ def cmd_sample(args):
           f"{pathlib.Path(args.exp_dir) / 'samples'}")
 
 
+def cmd_interpolate(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_interpolate)
+    meshes = run_interpolate(args.exp_dir, args.scene_a, args.scene_b,
+                             steps=args.steps, res=args.res,
+                             mode=args.mode, name=args.name,
+                             mesh_format=args.format)
+    print(f"wrote {len(meshes)} interpolation meshes under "
+          f"{pathlib.Path(args.exp_dir) / 'interpolations'}")
+
+
 def cmd_reconstruct(args):
     import numpy as np
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
@@ -107,7 +118,8 @@ def cmd_reconstruct(args):
 
 def cmd_eval(args):
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import run_eval
-    out = run_eval(args.exp_dir, num_points=args.points)
+    out = run_eval(args.exp_dir, num_points=args.points,
+                   fscore_tau=args.fscore_tau)
     print(json.dumps(out, indent=2))
 
 
@@ -253,9 +265,25 @@ def main(argv=None):
                    help="mesh output format (ply = binary little-endian)")
     s.set_defaults(fn=cmd_reconstruct)
 
-    s = sub.add_parser("eval", help="chamfer-L2 vs analytic ground truth")
+    s = sub.add_parser("interpolate", help="latent-space shape morph "
+                       "between two trained scene codes")
+    s.add_argument("exp_dir")
+    s.add_argument("scene_a", type=int)
+    s.add_argument("scene_b", type=int)
+    s.add_argument("--steps", type=int, default=8)
+    s.add_argument("--res", type=int, default=None)
+    s.add_argument("--mode", choices=("lerp", "slerp"), default="lerp")
+    s.add_argument("--name", default="interp")
+    s.add_argument("--format", choices=("obj", "ply"), default="obj",
+                   help="mesh output format (ply = binary little-endian)")
+    s.set_defaults(fn=cmd_interpolate)
+
+    s = sub.add_parser("eval", help="chamfer-L2 + F-score@tau (+ normal "
+                       "consistency for analytic GT) vs ground truth")
     s.add_argument("exp_dir")
     s.add_argument("--points", type=int, default=30_000)
+    s.add_argument("--fscore-tau", type=float, default=0.01,
+                   help="F-score distance threshold (unit-sphere frame)")
     s.set_defaults(fn=cmd_eval)
 
     s = sub.add_parser("decode", help="latent codes -> meshes (serving "

@@ -224,4 +224,5 @@ def experiment_layout(exp_dir: str | pathlib.Path) -> dict:
         "reconstructions": p / "reconstructions",
         "samples": p / "samples",
         "evals": p / "evals",
+        "interpolations": p / "interpolations",
     }

@@ -3,6 +3,12 @@ from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.chamfer import (  # n
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.mesh_sample import (  # noqa: F401
     sample_mesh_surface,
+    sample_mesh_surface_with_normals,
+)
+from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.fscore import (  # noqa: F401
+    fscore,
+    normal_consistency,
+    sdf_normals,
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.generative import (  # noqa: F401
     emd_exact,

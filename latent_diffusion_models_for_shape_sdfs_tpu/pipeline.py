@@ -252,18 +252,39 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
     zs = unnormalize_codes(zn, mu, sigma)
 
     apply_fn = make_fast_apply(decoder, ad_state.params)
+    out_dir = lay["samples"] if write_meshes else None
+    return _decode_latents_to_meshes(apply_fn, zs, res, cfg,
+                                     out_dir=out_dir, prefix="sample",
+                                     mesh_format=mesh_format)
+
+
+def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
+                              out_dir=None, prefix: str = "sample",
+                              mesh_format: str = "obj") -> list:
+    """Decode a batch of latents to meshes; write <out_dir>/<prefix>_###
+    files when out_dir is given. Returns list of (verts, faces).
+
+    Hierarchical-eligible resolutions (>= 64, 16-divisible) use the
+    production serving path: all decodes enqueued up front, only
+    near-surface blocks cross to the host (serve.serve_meshes). The
+    sparse payload reconstructs the same hierarchy as
+    decode_grid_adaptive (same safety/caps/escalation); the int8
+    payload preserves the program's crossing set exactly
+    (sign-preserving quantization, ops.grid_eval
+    decode_grid_hierarchical3_sparse2) and is ~6x less d2h than the
+    dense-cap bf16 payload. In the fp32 lineage-parity mode
+    (compute_dtype float32) the payload stays f32 so the output matches
+    the dense decode bitwise."""
+    sc = cfg.sample
     meshes = []
+
+    def _emit(i, v, f):
+        meshes.append((v, f))
+        if out_dir is not None:
+            meshio.write_mesh(
+                out_dir / f"{prefix}_{i:03d}.{mesh_format}", v, f)
+
     if sc.hierarchical and res >= 64 and res % 16 == 0:
-        # production serving path: all decodes enqueued up front, only
-        # near-surface blocks cross to the host (serve.serve_meshes).
-        # The sparse payload reconstructs the same hierarchy as
-        # decode_grid_adaptive (same safety/caps/escalation); the int8
-        # payload preserves the program's crossing set exactly
-        # (sign-preserving quantization, ops.grid_eval
-        # decode_grid_hierarchical3_sparse2) and is ~6x less d2h than
-        # the dense-cap bf16 payload. In the fp32 lineage-parity mode
-        # (compute_dtype float32) the payload stays f32 so sampling
-        # matches the dense decode bitwise.
         from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
             serve_meshes)
         payload_dtype = ("float32"
@@ -272,12 +293,9 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
         for i, (v, f, _st) in enumerate(serve_meshes(
                 apply_fn, list(zs), res=res, iso=sc.iso_level,
                 out_dtype=payload_dtype)):
-            meshes.append((v, f))
-            if write_meshes:
-                meshio.write_mesh(
-                    lay["samples"] / f"sample_{i:03d}.{mesh_format}", v, f)
+            _emit(i, v, f)
         return meshes
-    for i in range(num):
+    for i in range(len(zs)):
         if sc.hierarchical:
             grid = decode_grid_adaptive(apply_fn, zs[i], res,
                                         chunk=sc.grid_chunk)
@@ -285,11 +303,58 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
             grid = np.asarray(decode_grid(apply_fn, zs[i], res,
                                           chunk=sc.grid_chunk))
         v, f = extract_mesh(grid, iso=sc.iso_level)
-        meshes.append((v, f))
-        if write_meshes:
-            meshio.write_mesh(
-                lay["samples"] / f"sample_{i:03d}.{mesh_format}", v, f)
+        _emit(i, v, f)
     return meshes
+
+
+def run_interpolate(exp_dir: str, scene_a: int, scene_b: int,
+                    steps: int = 8, res: Optional[int] = None,
+                    mode: str = "lerp", name: str = "interp",
+                    mesh_format: str = "obj") -> list:
+    """Latent-space shape morphing (the DeepSDF-lineage interpolation
+    demo): decode meshes at `steps` evenly spaced latents on the path
+    between two trained stage-1 codes.
+
+    `mode`: "lerp" (straight line, the lineage convention) or "slerp"
+    (great-circle path at interpolated norm — stays on the code shell
+    when the two codes have similar norms, avoiding the low-norm
+    midpoint washout lerp can produce between dissimilar shapes).
+    Writes <exp>/interpolations/<name>_###.<mesh_format>; returns the
+    list of (verts, faces)."""
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    res = res or cfg.sample.grid_res
+    decoder, ad_state = load_ad_state(exp_dir)
+    n_codes = int(ad_state.codes.shape[0])
+    for s in (scene_a, scene_b):
+        if not 0 <= s < n_codes:
+            raise ValueError(f"scene id {s} out of range [0, {n_codes})")
+    za = np.asarray(ad_state.codes[scene_a], np.float64)
+    zb = np.asarray(ad_state.codes[scene_b], np.float64)
+    t = np.linspace(0.0, 1.0, steps)[:, None]
+    if mode == "slerp":
+        na, nb = np.linalg.norm(za), np.linalg.norm(zb)
+        ua, ub = za / na, zb / nb
+        cos = float(np.clip(np.dot(ua, ub), -1.0, 1.0))
+        omega = np.arccos(cos)
+        if np.sin(omega) < 1e-6:
+            # parallel (omega~0) or antiparallel (omega~pi): the
+            # great-circle is degenerate/undefined — fall back to lerp
+            zs = (1 - t) * za + t * zb
+        else:
+            arc = (np.sin((1 - t) * omega) * ua
+                   + np.sin(t * omega) * ub) / np.sin(omega)
+            zs = arc * ((1 - t) * na + t * nb)
+    elif mode == "lerp":
+        zs = (1 - t) * za + t * zb
+    else:
+        raise ValueError(f"unknown interpolation mode {mode!r}")
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    lay["interpolations"].mkdir(parents=True, exist_ok=True)
+    return _decode_latents_to_meshes(
+        apply_fn, jnp.asarray(zs, jnp.float32), res, cfg,
+        out_dir=lay["interpolations"], prefix=name,
+        mesh_format=mesh_format)
 
 
 # ----------------------------------------------------------- reconstruct
@@ -320,24 +385,32 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
 # ------------------------------------------------------------------ eval
 
 
-def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
-    """Chamfer-L2 of each training scene's reconstruction-from-latent
-    against its ground truth.
+def run_eval(exp_dir: str, num_points: int = 30_000,
+             fscore_tau: float = 0.01) -> dict:
+    """Chamfer-L2 (+ F-score@tau, + normal consistency where GT normals
+    exist) of each training scene's reconstruction-from-latent against
+    its ground truth.
 
-    GT surfaces: `analytic:` sources sample the closed-form surface;
-    `sdf:` sources use the `surface` point array the native preprocess
-    tool stores per scene (the lineage's SampleVisibleMeshSurface
-    output, in the same normalized frame the decoder trains in)."""
+    GT surfaces: `analytic:` sources sample the closed-form surface
+    (GT normals = exact SDF gradient); `sdf:` sources use the `surface`
+    point array the native preprocess tool stores per scene (the
+    lineage's SampleVisibleMeshSurface output, in the same normalized
+    frame the decoder trains in; no stored normals, so NC is skipped)."""
     import json
     import pathlib as _pl
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
-        chamfer_l2, sample_mesh_surface)
+        chamfer_l2, fscore, normal_consistency,
+        sample_mesh_surface_with_normals, sdf_normals)
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
+    gt_normals = None
     if cfg.data_source.startswith("analytic:"):
         shapes = analytic.make_synthetic_split(
             cfg.data_source.split(":", 1)[1], cfg.ad.num_scenes,
             seed=cfg.ad.seed)
+
+        def gt_normals(i, pts):
+            return sdf_normals(lambda p: analytic.sdf(shapes[i], p), pts)
 
         def gt_points(i):
             return analytic.sample_surface(shapes[i], num_points,
@@ -362,6 +435,8 @@ def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
     decoder, ad_state = load_ad_state(exp_dir)
     apply_fn = make_fast_apply(decoder, ad_state.params)
     results = {}
+    f_results = {}
+    nc_results = {}
     for i in range(n_scenes):
         grid = np.asarray(decode_grid(apply_fn, ad_state.codes[i],
                                       cfg.sample.grid_res,
@@ -369,13 +444,27 @@ def run_eval(exp_dir: str, num_points: int = 30_000) -> dict:
         v, f = extract_mesh(grid)
         if len(f) == 0:
             results[str(i)] = float("inf")
+            f_results[str(i)] = 0.0
             continue
-        pred = sample_mesh_surface(v, f, num_points, seed=i)
-        results[str(i)] = chamfer_l2(pred, gt_points(i))
+        pred, pred_nrm = sample_mesh_surface_with_normals(
+            v, f, num_points, seed=i)
+        gt = gt_points(i)
+        results[str(i)] = chamfer_l2(pred, gt)
+        f_results[str(i)] = fscore(pred, gt, tau=fscore_tau)["fscore"]
+        if gt_normals is not None:
+            nc_results[str(i)] = normal_consistency(
+                pred, pred_nrm, gt, gt_normals(i, gt))
     finite = [x for x in results.values() if np.isfinite(x)]
     out = {"chamfer_l2": results,
            "mean": float(np.mean(finite)) if finite else float("inf"),
-           "num_failed": len(results) - len(finite)}
+           "num_failed": len(results) - len(finite),
+           "fscore_tau": fscore_tau,
+           "fscore": f_results,
+           "fscore_mean": float(np.mean(list(f_results.values())))}
+    if nc_results:
+        out["normal_consistency"] = nc_results
+        out["normal_consistency_mean"] = float(
+            np.mean(list(nc_results.values())))
     lay["evals"].mkdir(parents=True, exist_ok=True)
     (lay["evals"] / "chamfer.json").write_text(json.dumps(out, indent=2))
     return out

@@ -80,6 +80,27 @@ def test_eval(exp):
     assert "mean" in out and len(out["chamfer_l2"]) == 2
 
 
+def test_interpolate(exp):
+    main(["interpolate", str(exp), "0", "1", "--steps", "3",
+          "--res", "24"])
+    objs = sorted((exp / "interpolations").glob("interp_*.obj"))
+    assert len(objs) == 3 and all(o.stat().st_size > 100 for o in objs)
+    # slerp and lerp share exact endpoints (t=0 -> z_a, t=1 -> z_b),
+    # so their endpoint meshes must be identical
+    import numpy as np
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_interpolate)
+    m_lerp = run_interpolate(str(exp), 0, 1, steps=2, res=24,
+                             name="ends_l")
+    m_slerp = run_interpolate(str(exp), 0, 1, steps=2, res=24,
+                              mode="slerp", name="ends_s")
+    for k in (0, 1):
+        np.testing.assert_array_equal(m_lerp[k][0], m_slerp[k][0])
+        np.testing.assert_array_equal(m_lerp[k][1], m_slerp[k][1])
+    with pytest.raises(ValueError):
+        run_interpolate(str(exp), 0, 99, steps=2, res=24)
+
+
 def test_export_decoder_artifact(exp, tmp_path):
     out = tmp_path / "dec.zip"
     main(["export-decoder", str(exp), "--res", "32", "--out", str(out)])
