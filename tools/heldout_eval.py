@@ -47,7 +47,7 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
         extract_mesh)
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
-        chamfer_l2, sample_mesh_surface)
+        chamfer_l2, fscore, sample_mesh_surface)
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation.chamfer \
         import chamfer_l2_directed
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
@@ -109,6 +109,7 @@ def main():
                 "chamfer": chamfer_l2(pred, gt),
                 "pred_to_gt": chamfer_l2_directed(pred, gt),
                 "gt_to_pred": chamfer_l2_directed(gt, pred),
+                "fscore_tau01": fscore(pred, gt, tau=0.01)["fscore"],
                 "l1_last": info["l1_last"],
             })
             print(f"held-out[{bname}] {i}: "
@@ -123,7 +124,9 @@ def main():
             "worst_pred_to_gt": float(max(r.get("pred_to_gt", np.inf)
                                           for r in rows)),
             "median_gt_to_pred": float(np.median(
-                [r.get("gt_to_pred", np.inf) for r in rows]))}
+                [r.get("gt_to_pred", np.inf) for r in rows])),
+            "median_fscore_tau01": float(np.median(
+                [r.get("fscore_tau01", 0.0) for r in rows]))}
         print(f"held-out[{bname}]: median={batteries[bname]['median']:.2e}"
               f" worst p2g={batteries[bname]['worst_pred_to_gt']:.2e}",
               flush=True)

@@ -49,7 +49,9 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
         extract_mesh)
     from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
-        chamfer_l2, sample_mesh_surface)
+        chamfer_l2, fscore, normal_consistency,
+        sample_mesh_surface, sample_mesh_surface_with_normals,
+        sdf_normals)
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
         reconstruct_latent)
     from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
@@ -88,23 +90,34 @@ def main():
     apply_fn = make_pallas_apply(decoder, state.params)
 
     # ---------------- 1. reconstruction fidelity on 16 training chairs
-    cham = []
+    cham, fs, nc = [], [], []
     for i in range(0, N_TRAIN, N_TRAIN // 16):
         grid = decode_grid_adaptive(apply_fn, state.codes[i], 128)
         v, f = extract_mesh(grid)
         if len(f) == 0:
             cham.append(float("inf"))
+            fs.append(0.0)
             continue
-        pred = sample_mesh_surface(v, f, 30_000, seed=i)
+        pred, pred_nrm = sample_mesh_surface_with_normals(
+            v, f, 30_000, seed=i)
         gt = analytic.sample_surface(train_shapes[i], 30_000,
                                      np.random.default_rng(i))
         cham.append(chamfer_l2(pred, gt))
+        fs.append(fscore(pred, gt, tau=0.01)["fscore"])
+        shape_i = train_shapes[i]
+        nc.append(normal_consistency(
+            pred, pred_nrm, gt,
+            sdf_normals(lambda p: analytic.sdf(shape_i, p), gt)))
         if i == 0:
             meshio.write_obj(OUT / "train_chair_0.obj", v, f)
     report["train_chamfer_median"] = float(np.median(cham))
     report["train_chamfer_mean"] = float(np.mean(cham))
     report["train_chamfer_all"] = cham
-    print(f"train-set chamfer: median={report['train_chamfer_median']:.2e}",
+    report["train_fscore_tau01_median"] = float(np.median(fs))
+    report["train_normal_consistency_median"] = float(np.median(nc))
+    print(f"train-set chamfer: median={report['train_chamfer_median']:.2e} "
+          f"fscore@.01 median={report['train_fscore_tau01_median']:.3f} "
+          f"NC median={report['train_normal_consistency_median']:.3f}",
           flush=True)
 
     # ---------------- 1b. hierarchical-vs-dense integrity (VERDICT r1 #7):
@@ -304,6 +317,7 @@ def main():
     pred = sample_mesh_surface(v, f, 30_000, seed=1)
     gt = analytic.sample_surface(held_out, 30_000, np.random.default_rng(5))
     report["held_out_chamfer"] = chamfer_l2(pred, gt)
+    report["held_out_fscore_tau01"] = fscore(pred, gt, tau=0.01)["fscore"]
     report["held_out_opt"] = info
     print(f"held-out chamfer: {report['held_out_chamfer']:.2e}", flush=True)
 
