@@ -123,6 +123,16 @@ def cmd_eval(args):
     print(json.dumps(out, indent=2))
 
 
+def _simplify_cli(mesh, args):
+    """Apply the decode CLI's optional LOD flags to one (verts, faces)."""
+    if args.simplify is None and args.simplify_faces is None:
+        return mesh
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        simplify_mesh)
+    return simplify_mesh(*mesh, target_faces=args.simplify_faces,
+                         ratio=args.simplify)
+
+
 def cmd_decode(args):
     """Latent codes -> meshes via the production serving path.
 
@@ -158,10 +168,12 @@ def cmd_decode(args):
     res = args.res
     if res >= 64 and res % 16 == 0:
         meshes = ((v, f) for v, f, _st in
-                  serve_meshes(apply_fn, list(zs), res=res))
+                  serve_meshes(apply_fn, list(zs), res=res,
+                               simplify_ratio=args.simplify,
+                               simplify_faces=args.simplify_faces))
     else:
-        meshes = ((lambda g: extract_mesh(g))(
-            decode_grid_adaptive(apply_fn, z, res)) for z in zs)
+        meshes = (_simplify_cli(extract_mesh(
+            decode_grid_adaptive(apply_fn, z, res)), args) for z in zs)
     for name, (v, f) in zip(names, meshes):
         meshio.write_mesh(out_dir / f"{name}.{args.format}", v, f)
         print(f"{name}: {len(v)} verts, {len(f)} faces -> "
@@ -296,6 +308,11 @@ def main(argv=None):
     s.add_argument("--out", help="output dir (default <exp>/decoded)")
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    s.add_argument("--simplify", type=float, default=None,
+                   help="LOD: QEM-decimate each mesh to this fraction "
+                   "of its face count (native lib required)")
+    s.add_argument("--simplify-faces", type=int, default=None,
+                   help="LOD: QEM-decimate to an absolute face budget")
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("export-decoder", help="AOT serving artifact "

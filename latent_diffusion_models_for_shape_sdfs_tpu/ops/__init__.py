@@ -2,6 +2,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (  # noqa:
     marching_tetrahedra,
     extract_mesh,
     extract_mesh_payload,
+    simplify_mesh,
 )
 from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: F401
     make_grid_points,

@@ -201,6 +201,11 @@ def _native_mc_lib():
             f32p, f32p, i32p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, f32p, ctypes.c_float, i32p, ctypes.c_int64,
             i64p, i64p]
+    if hasattr(lib, "simp_run"):
+        lib.simp_run.restype = ctypes.c_void_p
+        lib.simp_run.argtypes = [f32p, ctypes.c_int64, i64p,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_double, i64p, i64p]
     lib.mc_copy.restype = None
     lib.mc_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
     lib.mc_free.restype = None
@@ -335,3 +340,60 @@ def extract_mesh(grid: np.ndarray, iso: float = 0.0,
             verts = np.frombuffer(f.read(nv * 12), np.float32).reshape(nv, 3)
             faces = np.frombuffer(f.read(nf * 24), np.int64).reshape(nf, 3)
     return verts.copy(), faces.copy()
+
+
+def simplify_mesh(verts: np.ndarray, faces: np.ndarray,
+                  target_faces: Optional[int] = None,
+                  ratio: Optional[float] = None,
+                  max_error: Optional[float] = None) -> tuple:
+    """Quadric edge-collapse decimation (native/simplify/qem_core.hpp).
+
+    Serving-side LOD: grid meshing emits triangle density set by the
+    grid, not the geometry; QEM concentrates the budget where curvature
+    lives. Give a face budget via `target_faces` or `ratio` (fraction
+    of the input count), and/or a `max_error` ceiling on the summed
+    squared plane distance per collapse (None = unbounded). Preserves
+    closed-manifold topology (link condition + normal-flip rejection)
+    and open rims (boundary constraint planes). The budget is
+    best-effort: on pathological meshes the heap can run out of VALID
+    collapses slightly above the target.
+
+    Native-only (the pure-Python path has no decimator); raises
+    RuntimeError when libmarching_cubes_c.so is not built.
+    """
+    import ctypes
+    lib = _native_mc_lib()
+    if lib is None or not hasattr(lib, "simp_run"):
+        raise RuntimeError(
+            "mesh simplification needs the native library: "
+            "cmake -S native -B native/build && "
+            "cmake --build native/build")
+    if target_faces is None and ratio is None and max_error is None:
+        raise ValueError("give target_faces, ratio, or max_error")
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int64)
+    if ratio is not None:
+        if target_faces is not None:
+            raise ValueError("give target_faces OR ratio, not both")
+        target_faces = int(len(faces) * ratio)
+    if target_faces is None:
+        target_faces = 0  # decimate purely by the error ceiling
+    if len(faces) == 0 or len(faces) <= target_faces:
+        return verts.copy(), faces.copy()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    h = lib.simp_run(
+        verts.ctypes.data_as(f32p), len(verts),
+        faces.ctypes.data_as(i64p), len(faces),
+        int(target_faces),
+        ctypes.c_double(-1.0 if max_error is None else float(max_error)),
+        ctypes.byref(nv), ctypes.byref(nf))
+    try:
+        v = np.empty((nv.value, 3), np.float32)
+        f = np.empty((nf.value, 3), np.int64)
+        lib.mc_copy(h, v.ctypes.data_as(f32p), f.ctypes.data_as(i64p))
+    finally:
+        lib.mc_free(h)
+    return v, f

@@ -55,6 +55,21 @@ def _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2, n1, n2, res, iso, dq):
     return extract_mesh(grid, iso=iso, active_blocks=ab)
 
 
+def _maybe_simplify(verts, faces, simplify_faces, simplify_ratio):
+    """Optional LOD post-pass (native QEM decimation). Returns
+    (verts, faces, faces_before-or-None). Runs inside the mesh-worker
+    threads, so the cost overlaps the next shape's d2h."""
+    if simplify_faces is None and simplify_ratio is None:
+        return verts, faces, None
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        simplify_mesh)
+    nf0 = len(faces)
+    verts, faces = simplify_mesh(verts, faces,
+                                 target_faces=simplify_faces,
+                                 ratio=simplify_ratio)
+    return verts, faces, nf0
+
+
 def _default_caps(res: int) -> tuple:
     # surface-shell-scale starting capacities (decode_grid_adaptive's)
     nb1 = res // 16
@@ -77,7 +92,9 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
                  safety: float = 1.2, safety3: float = 2.0,
                  iso: float = 0.0, caps: Optional[tuple] = None,
                  max_escalations: int = 4, out_dtype: str = "int8",
-                 mesh_workers: Optional[int] = None) -> Iterator[tuple]:
+                 mesh_workers: Optional[int] = None,
+                 simplify_faces: Optional[int] = None,
+                 simplify_ratio: Optional[float] = None) -> Iterator[tuple]:
     """Yield (verts, faces, stats) for each latent in `latents`.
 
     `apply_fn`: ops.grid_eval ApplyFn ((z, xyz[N,3]) -> sdf[N]), e.g.
@@ -106,6 +123,10 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     hierarchy). `mesh_workers` (None = cores+1, max 4) > 1 overlaps the host
     grid-reconstruction + marching-cubes across shapes (results still
     yield in input order); 1 restores fully serial hosting.
+
+    `simplify_faces` / `simplify_ratio`: optional LOD budget — QEM
+    decimation (ops.isosurface.simplify_mesh) applied per mesh inside
+    the worker threads; stats gain ``faces_before``.
     """
     import jax.numpy as jnp
 
@@ -122,12 +143,18 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
         verts, faces = _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2,
                                         min(n1, c1), min(n2, c2), res,
                                         iso, dq)
-        return verts, faces, {
+        verts, faces, nf0 = _maybe_simplify(verts, faces,
+                                            simplify_faces,
+                                            simplify_ratio)
+        stats = {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
             "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
             "capacity_exceeded": n1 > c1 or n2 > c2 or n3 > c3,
             "payload_bytes": int(sum(np.asarray(a).nbytes for a in
                                      (c1a, c2a, idx1, vals2, ids2)))}
+        if nf0 is not None:
+            stats["faces_before"] = nf0
+        return verts, faces, stats
 
     def jobs():
         # escalation decodes stay on this (main) thread — one process,
@@ -186,7 +213,10 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                          res: int = 256, safety: float = 1.2,
                          safety3: float = 2.0, iso: float = 0.0,
                          caps: Optional[tuple] = None,
-                         out_dtype: str = "int8") -> Iterator[tuple]:
+                         out_dtype: str = "int8",
+                         simplify_faces: Optional[int] = None,
+                         simplify_ratio: Optional[float] = None,
+                         ) -> Iterator[tuple]:
     """serve_meshes scaled over a jax.sharding.Mesh: the latent batch is
     sharded across devices (parallel.dp.make_dp_sparse_decode_fn), each
     device computes compact v2 payloads for its shapes, and the host
@@ -227,13 +257,19 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                                         i2[i], min(int(n1[i]), cap1),
                                         min(int(n2[i]), cap2), res,
                                         iso, dq)
-        return verts, faces, {
+        verts, faces, nf0 = _maybe_simplify(verts, faces,
+                                            simplify_faces,
+                                            simplify_ratio)
+        stats = {
             "active_l1": int(n1[i]), "active_l2": int(n2[i]),
             "active_l3": int(n3[i]), "escalations": 0,
             "cap1": cap1, "cap2": cap2, "cap3": cap3,
             "capacity_exceeded": False,
             "payload_bytes": int(sum(np.asarray(a[i]).nbytes for a in
                                      (c1a, c2a, i1, v2, i2)))}
+        if nf0 is not None:
+            stats["faces_before"] = nf0
+        return verts, faces, stats
 
     # host meshing overlapped across shapes; escalation re-decodes (rare)
     # stay on this thread — one serialized device stream.
@@ -250,7 +286,9 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
                 yield next(iter(serve_meshes(
                     apply_fn, [zs[i]], res=res, safety=safety,
                     safety3=safety3, iso=iso, out_dtype=out_dtype,
-                    caps=(2 * cap1, 2 * cap2, 2 * cap3))))
+                    caps=(2 * cap1, 2 * cap2, 2 * cap3),
+                    simplify_faces=simplify_faces,
+                    simplify_ratio=simplify_ratio)))
 
 
 def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,

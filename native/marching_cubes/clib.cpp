@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 
+#include "../simplify/qem_core.hpp"
 #include "mt_core.hpp"
 
 extern "C" {
@@ -66,6 +67,21 @@ void* mc_run_payload(const float* fill, const float* vals,
       mt::extract_payload(vf, iso, origin, spacing, block_ids, n_blocks));
   *nv = static_cast<int64_t>(mesh->verts.size() / 3);
   *nf = static_cast<int64_t>(mesh->faces.size() / 3);
+  return mesh;
+}
+
+// Quadric edge-collapse decimation (native/simplify/qem_core.hpp):
+// serving-side LOD. Returns a MeshOut handle for mc_copy/mc_free.
+// target_faces: decimate to at most this many faces; max_error < 0
+// disables the error ceiling. No globals — safe from the serving
+// path's mesh-worker threads.
+void* simp_run(const float* verts, int64_t nv, const int64_t* faces,
+               int64_t nf, int64_t target_faces, double max_error,
+               int64_t* nv_out, int64_t* nf_out) {
+  auto* mesh = new mt::MeshOut(
+      qem::simplify(verts, nv, faces, nf, target_faces, max_error));
+  *nv_out = static_cast<int64_t>(mesh->verts.size() / 3);
+  *nf_out = static_cast<int64_t>(mesh->faces.size() / 3);
   return mesh;
 }
 

@@ -11,6 +11,7 @@
 #include "../common/bvh.hpp"
 #include "../common/npy.hpp"
 #include "../marching_cubes/mt_core.hpp"
+#include "../simplify/qem_core.hpp"
 
 static int failures = 0;
 #define CHECK(cond)                                                  \
@@ -115,6 +116,56 @@ static void test_mt_linear_field() {
     CHECK(std::fabs(m.verts[3 * i] - 0.3f) < 1e-6f);
 }
 
+static void test_qem_simplify_sphere() {
+  // decimate the MC sphere: face budget honored, surface stays on the
+  // sphere, closed genus-0 topology survives (V - E + F == 2)
+  const int R = 33;
+  std::vector<float> grid(static_cast<size_t>(R) * R * R);
+  const float origin[3] = {-1, -1, -1};
+  const float spacing = 2.0f / (R - 1);
+  for (int x = 0; x < R; ++x)
+    for (int y = 0; y < R; ++y)
+      for (int z = 0; z < R; ++z) {
+        float px = -1 + spacing * x, py = -1 + spacing * y,
+              pz = -1 + spacing * z;
+        grid[(static_cast<size_t>(x) * R + y) * R + z] =
+            std::sqrt(px * px + py * py + pz * pz) - 0.5f;
+      }
+  mt::MeshOut m = mt::extract(grid.data(), R, 0.0f, origin, spacing);
+  const int64_t nf_in = static_cast<int64_t>(m.faces.size() / 3);
+  const int64_t target = nf_in / 8;
+  mt::MeshOut s = qem::simplify(m.verts.data(), m.verts.size() / 3,
+                                m.faces.data(), nf_in, target, -1.0);
+  const int64_t nv = static_cast<int64_t>(s.verts.size() / 3);
+  const int64_t nf = static_cast<int64_t>(s.faces.size() / 3);
+  CHECK(nf <= target && nf > target / 2);
+  float max_err = 0;
+  for (int64_t i = 0; i < nv; ++i) {
+    float r = std::sqrt(s.verts[3 * i] * s.verts[3 * i]
+                        + s.verts[3 * i + 1] * s.verts[3 * i + 1]
+                        + s.verts[3 * i + 2] * s.verts[3 * i + 2]);
+    max_err = std::fmax(max_err, std::fabs(r - 0.5f));
+  }
+  CHECK(max_err < 2 * spacing);  // decimated chord sag stays ~cell-size
+  std::set<std::pair<int64_t, int64_t>> edges;
+  std::map<std::pair<int64_t, int64_t>, int> ecnt;
+  for (int64_t i = 0; i < nf; ++i) {
+    int64_t f[3] = {s.faces[3 * i], s.faces[3 * i + 1],
+                    s.faces[3 * i + 2]};
+    CHECK(f[0] != f[1] && f[1] != f[2] && f[0] != f[2]);
+    CHECK(f[0] >= 0 && f[0] < nv && f[1] >= 0 && f[1] < nv && f[2] >= 0
+          && f[2] < nv);
+    for (int k = 0; k < 3; ++k) {
+      auto e = std::minmax(f[k], f[(k + 1) % 3]);
+      edges.insert(e);
+      ++ecnt[e];
+    }
+  }
+  CHECK(static_cast<int64_t>(nv) - static_cast<int64_t>(edges.size())
+            + nf == 2);
+  for (auto& kv : ecnt) CHECK(kv.second == 2);  // stays closed manifold
+}
+
 static void test_npz_structure() {
   // minimal structural check: magic numbers + sizes land where expected
   float a[8] = {1, 2, 3, 4, 5, 6, 7, 8};
@@ -135,6 +186,7 @@ int main() {
   test_bvh_distance_and_winding();
   test_mt_sphere();
   test_mt_linear_field();
+  test_qem_simplify_sphere();
   test_npz_structure();
   if (failures == 0) std::printf("ALL NATIVE TESTS PASSED\n");
   return failures == 0 ? 0 : 1;

@@ -141,6 +141,14 @@ def test_decode_scenes_and_codes_file(exp, tmp_path):
     v_p, f_p = meshio.read_ply(tmp_path / "dec_ply" / "code_000.ply")
     np.testing.assert_allclose(v_p, v_b, atol=1e-6)
     assert len(f_p) > 0
+    # --simplify-faces LOD on the dense (non-hierarchical-res) path
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops import isosurface
+    lib = isosurface._native_mc_lib()
+    if lib is not None and hasattr(lib, "simp_run"):
+        main(["decode", str(exp), "--scene", "0", "--res", "24",
+              "--out", str(tmp_path / "lod"), "--simplify-faces", "300"])
+        _, f_l = meshio.read_obj(tmp_path / "lod" / "scene_000.obj")
+        assert 0 < len(f_l) <= 300
 
 
 def test_train_ad_resume(exp):
