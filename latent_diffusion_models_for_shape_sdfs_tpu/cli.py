@@ -75,7 +75,9 @@ def cmd_sample(args):
     meshes = run_sample(args.exp_dir, num=args.num, res=args.res,
                         class_id=args.class_id, seed=args.seed,
                         obs_xyz=obs_xyz, obs_sdf=obs_sdf,
-                        mesh_format=args.format)
+                        mesh_format=args.format,
+                        simplify_ratio=args.simplify,
+                        simplify_faces=args.simplify_faces)
     print(f"wrote {len(meshes)} meshes under "
           f"{pathlib.Path(args.exp_dir) / 'samples'}")
 
@@ -86,7 +88,9 @@ def cmd_interpolate(args):
     meshes = run_interpolate(args.exp_dir, args.scene_a, args.scene_b,
                              steps=args.steps, res=args.res,
                              mode=args.mode, name=args.name,
-                             mesh_format=args.format)
+                             mesh_format=args.format,
+                             simplify_ratio=args.simplify,
+                             simplify_faces=args.simplify_faces)
     print(f"wrote {len(meshes)} interpolation meshes under "
           f"{pathlib.Path(args.exp_dir) / 'interpolations'}")
 
@@ -121,6 +125,15 @@ def cmd_eval(args):
     out = run_eval(args.exp_dir, num_points=args.points,
                    fscore_tau=args.fscore_tau)
     print(json.dumps(out, indent=2))
+
+
+def _add_lod_flags(s):
+    """--simplify / --simplify-faces on every mesh-producing command."""
+    s.add_argument("--simplify", type=float, default=None,
+                   help="LOD: QEM-decimate each mesh to this fraction "
+                   "of its face count (native lib required)")
+    s.add_argument("--simplify-faces", type=int, default=None,
+                   help="LOD: QEM-decimate to an absolute face budget")
 
 
 def _simplify_cli(mesh, args):
@@ -262,6 +275,7 @@ def main(argv=None):
                         " for partial-SDF-conditioned sampling (config 4)")
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    _add_lod_flags(s)
     s.set_defaults(fn=cmd_sample)
 
     s = sub.add_parser("reconstruct", help="latent-optimize to a mesh")
@@ -288,6 +302,7 @@ def main(argv=None):
     s.add_argument("--name", default="interp")
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    _add_lod_flags(s)
     s.set_defaults(fn=cmd_interpolate)
 
     s = sub.add_parser("eval", help="chamfer-L2 + F-score@tau (+ normal "
@@ -308,11 +323,7 @@ def main(argv=None):
     s.add_argument("--out", help="output dir (default <exp>/decoded)")
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
-    s.add_argument("--simplify", type=float, default=None,
-                   help="LOD: QEM-decimate each mesh to this fraction "
-                   "of its face count (native lib required)")
-    s.add_argument("--simplify-faces", type=int, default=None,
-                   help="LOD: QEM-decimate to an absolute face budget")
+    _add_lod_flags(s)
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("export-decoder", help="AOT serving artifact "

@@ -208,7 +208,9 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
                write_meshes: bool = True,
                obs_xyz: Optional[np.ndarray] = None,
                obs_sdf: Optional[np.ndarray] = None,
-               mesh_format: str = "obj") -> list:
+               mesh_format: str = "obj",
+               simplify_faces: Optional[int] = None,
+               simplify_ratio: Optional[float] = None) -> list:
     """Sample latents with DDPM/DDIM, decode to meshes under <exp>/samples.
     Returns list of (verts, faces). `mesh_format`: "obj" or "ply"
     (binary little-endian, the lineage's output format).
@@ -255,12 +257,16 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
     out_dir = lay["samples"] if write_meshes else None
     return _decode_latents_to_meshes(apply_fn, zs, res, cfg,
                                      out_dir=out_dir, prefix="sample",
-                                     mesh_format=mesh_format)
+                                     mesh_format=mesh_format,
+                                     simplify_faces=simplify_faces,
+                                     simplify_ratio=simplify_ratio)
 
 
 def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
                               out_dir=None, prefix: str = "sample",
-                              mesh_format: str = "obj") -> list:
+                              mesh_format: str = "obj",
+                              simplify_faces=None,
+                              simplify_ratio=None) -> list:
     """Decode a batch of latents to meshes; write <out_dir>/<prefix>_###
     files when out_dir is given. Returns list of (verts, faces).
 
@@ -274,7 +280,10 @@ def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
     decode_grid_hierarchical3_sparse2) and is ~6x less d2h than the
     dense-cap bf16 payload. In the fp32 lineage-parity mode
     (compute_dtype float32) the payload stays f32 so the output matches
-    the dense decode bitwise."""
+    the dense decode bitwise.
+
+    `simplify_faces` / `simplify_ratio`: optional LOD budget (native
+    QEM decimation, ops.isosurface.simplify_mesh) applied per mesh."""
     sc = cfg.sample
     meshes = []
 
@@ -292,7 +301,8 @@ def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
                          else "int8")
         for i, (v, f, _st) in enumerate(serve_meshes(
                 apply_fn, list(zs), res=res, iso=sc.iso_level,
-                out_dtype=payload_dtype)):
+                out_dtype=payload_dtype, simplify_faces=simplify_faces,
+                simplify_ratio=simplify_ratio)):
             _emit(i, v, f)
         return meshes
     for i in range(len(zs)):
@@ -303,6 +313,11 @@ def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
             grid = np.asarray(decode_grid(apply_fn, zs[i], res,
                                           chunk=sc.grid_chunk))
         v, f = extract_mesh(grid, iso=sc.iso_level)
+        if simplify_faces is not None or simplify_ratio is not None:
+            from latent_diffusion_models_for_shape_sdfs_tpu.ops. \
+                isosurface import simplify_mesh
+            v, f = simplify_mesh(v, f, target_faces=simplify_faces,
+                                 ratio=simplify_ratio)
         _emit(i, v, f)
     return meshes
 
@@ -310,7 +325,9 @@ def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
 def run_interpolate(exp_dir: str, scene_a: int, scene_b: int,
                     steps: int = 8, res: Optional[int] = None,
                     mode: str = "lerp", name: str = "interp",
-                    mesh_format: str = "obj") -> list:
+                    mesh_format: str = "obj",
+                    simplify_faces: Optional[int] = None,
+                    simplify_ratio: Optional[float] = None) -> list:
     """Latent-space shape morphing (the DeepSDF-lineage interpolation
     demo): decode meshes at `steps` evenly spaced latents on the path
     between two trained stage-1 codes.
@@ -354,7 +371,8 @@ def run_interpolate(exp_dir: str, scene_a: int, scene_b: int,
     return _decode_latents_to_meshes(
         apply_fn, jnp.asarray(zs, jnp.float32), res, cfg,
         out_dir=lay["interpolations"], prefix=name,
-        mesh_format=mesh_format)
+        mesh_format=mesh_format, simplify_faces=simplify_faces,
+        simplify_ratio=simplify_ratio)
 
 
 # ----------------------------------------------------------- reconstruct

@@ -99,6 +99,14 @@ def test_interpolate(exp):
         np.testing.assert_array_equal(m_lerp[k][1], m_slerp[k][1])
     with pytest.raises(ValueError):
         run_interpolate(str(exp), 0, 99, steps=2, res=24)
+    # LOD plumbing through the pipeline's dense decode branch
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops import isosurface
+    lib = isosurface._native_mc_lib()
+    if lib is not None and hasattr(lib, "simp_run"):
+        m_lod = run_interpolate(str(exp), 0, 1, steps=2, res=24,
+                                name="ends_lod", simplify_faces=200)
+        for (v, f), (v0, f0) in zip(m_lod, m_lerp):
+            assert 0 < len(f) <= 200 < len(f0)
 
 
 def test_export_decoder_artifact(exp, tmp_path):
