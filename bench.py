@@ -265,17 +265,26 @@ def main():
     next(iter(serve_meshes(apply_fast, zsrv[:1], res=256)))  # compile+warm
     t0 = time.perf_counter()
     nmesh = pay = nv = 0
+    t_d2h = t_mesh = 0.0
     for v, fcs, stt in serve_meshes(apply_fast, zsrv[1:], res=256):
         nmesh += 1
         nv += len(v)
         pay += stt["payload_bytes"]
+        t_d2h += stt["t_d2h_wait_s"]
+        t_mesh += stt["t_mesh_s"]
     dt_e2e = (time.perf_counter() - t0) / nmesh
     details["serve_256_meshes_per_sec"] = 1.0 / dt_e2e
     details["serve_256_payload_bytes_per_shape"] = pay // nmesh
     details["serve_256_verts_per_mesh"] = nv // nmesh
+    # per-shape bottleneck split (worker-thread view: d2h wait is time
+    # blocked on the async transfer, mesh is pure host time)
+    details["serve_256_d2h_wait_s_per_shape"] = t_d2h / nmesh
+    details["serve_256_host_mesh_s_per_shape"] = t_mesh / nmesh
     log(f"serve e2e 256^3: {dt_e2e * 1e3:.0f} ms/mesh -> "
         f"{1 / dt_e2e:.2f} meshes/s ({pay // nmesh / 2 ** 20:.1f} "
-        f"MiB payload, {nv // nmesh} verts)")
+        f"MiB payload, {nv // nmesh} verts; per-shape d2h wait "
+        f"{t_d2h / nmesh * 1e3:.0f} ms, host mesh "
+        f"{t_mesh / nmesh * 1e3:.0f} ms)")
     del zsrv
 
     eff_rate = max(eff_256, eff_512, eff_b)

@@ -20,6 +20,7 @@ production packaging of it (one call from latents to meshes).
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
@@ -140,18 +141,27 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
 
     def mesh_job(c1a, c2a, idx1, vals2, ids2, n1, n2, n3, c1, c2, c3,
                  esc):
+        # materialize the payload first so the stats split d2h wait
+        # (time blocked on the async transfer) from pure host meshing —
+        # the two candidate bottlenecks of the serving loop
+        t0 = time.perf_counter()
+        c1a, c2a, idx1, vals2, ids2 = (np.asarray(a) for a in
+                                       (c1a, c2a, idx1, vals2, ids2))
+        t1 = time.perf_counter()
         verts, faces = _mesh_v2_payload(c1a, c2a, idx1, vals2, ids2,
                                         min(n1, c1), min(n2, c2), res,
                                         iso, dq)
         verts, faces, nf0 = _maybe_simplify(verts, faces,
                                             simplify_faces,
                                             simplify_ratio)
+        t2 = time.perf_counter()
         stats = {
             "active_l1": n1, "active_l2": n2, "active_l3": n3,
             "escalations": esc, "cap1": c1, "cap2": c2, "cap3": c3,
             "capacity_exceeded": n1 > c1 or n2 > c2 or n3 > c3,
-            "payload_bytes": int(sum(np.asarray(a).nbytes for a in
-                                     (c1a, c2a, idx1, vals2, ids2)))}
+            "payload_bytes": int(sum(a.nbytes for a in
+                                     (c1a, c2a, idx1, vals2, ids2))),
+            "t_d2h_wait_s": t1 - t0, "t_mesh_s": t2 - t1}
         if nf0 is not None:
             stats["faces_before"] = nf0
         return verts, faces, stats
