@@ -188,7 +188,9 @@ def cmd_decode(args):
         meshes = (_simplify_cli(extract_mesh(
             decode_grid_adaptive(apply_fn, z, res)), args) for z in zs)
     for name, (v, f) in zip(names, meshes):
-        meshio.write_mesh(out_dir / f"{name}.{args.format}", v, f)
+        nrm = meshio.vertex_normals(v, f) if args.normals else None
+        meshio.write_mesh(out_dir / f"{name}.{args.format}", v, f,
+                          normals=nrm)
         print(f"{name}: {len(v)} verts, {len(f)} faces -> "
               f"{out_dir / name}.{args.format}")
 
@@ -323,6 +325,9 @@ def main(argv=None):
     s.add_argument("--out", help="output dir (default <exp>/decoded)")
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    s.add_argument("--normals", action="store_true",
+                   help="write angle-weighted vertex normals "
+                   "(vn lines / nx,ny,nz properties)")
     _add_lod_flags(s)
     s.set_defaults(fn=cmd_decode)
 

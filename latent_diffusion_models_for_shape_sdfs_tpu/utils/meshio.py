@@ -15,33 +15,165 @@ import pathlib
 import numpy as np
 
 
+def harmonize_winding(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Flip faces so each connected component is consistently wound,
+    then orient every component outward by its signed volume.
+
+    The marching-tetrahedra extractors emit per-tet windings that are
+    NOT globally consistent (the lone-corner cases share one vertex
+    order across both polarities) — harmless for distance metrics and
+    for welding, but normals need orientation. BFS over the shared-edge
+    graph: two faces are consistently oriented iff their shared edge
+    runs in OPPOSITE directions. Non-manifold edges (>2 faces) are not
+    traversed. The signed-volume sign fix is exact for closed
+    components and a centroid-flux heuristic for open ones."""
+    f = np.asarray(faces, np.int64).copy()
+    if not len(f):
+        return f
+    v = np.asarray(verts, np.float64)
+    # shared-edge adjacency: edge key -> up to 2 (face, direction)
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    owner = np.tile(np.arange(len(f)), 3)
+    direction = (edges[:, 0] < edges[:, 1])  # True = forward wrt sorted
+    key = (np.minimum(edges[:, 0], edges[:, 1]) * (v.shape[0] + 1)
+           + np.maximum(edges[:, 0], edges[:, 1]))
+    order = np.argsort(key, kind="stable")
+    key_s, owner_s, dir_s = key[order], owner[order], direction[order]
+    starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    counts = np.diff(np.r_[starts, len(key_s)])
+    adj = [[] for _ in range(len(f))]  # face -> (other, same_dir)
+    for s, c in zip(starts, counts):
+        if c == 2:  # manifold interior edge
+            fa, fb = owner_s[s], owner_s[s + 1]
+            same = dir_s[s] == dir_s[s + 1]
+            adj[fa].append((fb, same))
+            adj[fb].append((fa, same))
+    flip = np.zeros(len(f), bool)
+    seen = np.zeros(len(f), bool)
+    comp = np.full(len(f), -1, np.int64)
+    n_comp = 0
+    for root in range(len(f)):
+        if seen[root]:
+            continue
+        stack = [root]
+        seen[root] = True
+        comp[root] = n_comp
+        while stack:
+            cur = stack.pop()
+            for nb, same in adj[cur]:
+                if seen[nb]:
+                    continue
+                # consistent orientation = shared edge in opposite
+                # directions; equal directions means one must flip
+                flip[nb] = flip[cur] ^ same
+                seen[nb] = True
+                comp[nb] = n_comp
+                stack.append(nb)
+        n_comp += 1
+    f[flip] = f[flip][:, ::-1]
+    # outward sign per component via signed volume (divergence theorem)
+    tri = v[f]
+    svol = np.einsum("ij,ij->i", tri[:, 0],
+                     np.cross(tri[:, 1], tri[:, 2])) / 6.0
+    for c in range(n_comp):
+        sel = comp == c
+        if svol[sel].sum() < 0:
+            f[sel] = f[sel][:, ::-1]
+    return f
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray,
+                   harmonize: bool = True) -> np.ndarray:
+    """Angle-weighted per-vertex unit normals [N,3] f32.
+
+    Angle weighting (the incident face's corner angle at the vertex) is
+    the standard tessellation-independent choice: splitting a face in
+    two leaves the weights unchanged, unlike area or uniform weighting.
+    `harmonize` (default) first makes the winding globally consistent +
+    outward (harmonize_winding) — required for meshes from the
+    marching-tetrahedra extractors, whose raw winding is mixed."""
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(faces, np.int64)
+    if harmonize:
+        f = harmonize_winding(v, f)
+    n = np.zeros_like(v)
+    if len(f):
+        tri = v[f]  # [F, 3, 3]
+        for k in range(3):
+            a, b, c = tri[:, k], tri[:, (k + 1) % 3], tri[:, (k + 2) % 3]
+            e1, e2 = b - a, c - a
+            fn = np.cross(e1, e2)
+            fl = np.linalg.norm(fn, axis=1)
+            l1 = np.linalg.norm(e1, axis=1)
+            l2 = np.linalg.norm(e2, axis=1)
+            cos = np.einsum("ij,ij->i", e1, e2) / np.maximum(l1 * l2,
+                                                             1e-300)
+            ang = np.arccos(np.clip(cos, -1.0, 1.0))
+            unit = fn / np.maximum(fl, 1e-300)[:, None]
+            np.add.at(n, f[:, k], unit * ang[:, None])
+        # vertices incident only to zero-area slivers (crossings landing
+        # exactly on lattice points) accumulate a zero sum — borrow the
+        # average of their edge-neighbours' normals instead
+        norm = np.linalg.norm(n, axis=1)
+        dead = np.flatnonzero((norm < 1e-12)
+                              & np.isin(np.arange(len(v)), f))
+        if len(dead):
+            dead_set = set(dead.tolist())
+            nbr = {d: [] for d in dead_set}
+            for face in f:
+                for k in range(3):
+                    if face[k] in dead_set:
+                        nbr[face[k]].extend(
+                            (face[(k + 1) % 3], face[(k + 2) % 3]))
+            for d, ns in nbr.items():
+                if ns:
+                    n[d] = n[list(ns)].sum(axis=0)
+    return (n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                           1e-300)).astype(np.float32)
+
+
 def write_obj(path: str | pathlib.Path, verts: np.ndarray,
-              faces: np.ndarray) -> None:
+              faces: np.ndarray, normals: np.ndarray = None) -> None:
     p = pathlib.Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     with p.open("w") as f:
         for v in np.asarray(verts, np.float64):
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if normals is not None:
+            for nv in np.asarray(normals, np.float64):
+                f.write(f"vn {nv[0]:.6f} {nv[1]:.6f} {nv[2]:.6f}\n")
+            for face in np.asarray(faces, np.int64) + 1:
+                f.write(f"f {face[0]}//{face[0]} {face[1]}//{face[1]} "
+                        f"{face[2]}//{face[2]}\n")
+            return
         for face in np.asarray(faces, np.int64) + 1:  # OBJ is 1-indexed
             f.write(f"f {face[0]} {face[1]} {face[2]}\n")
 
 
 def write_ply(path: str | pathlib.Path, verts: np.ndarray,
-              faces: np.ndarray, binary: bool = False) -> None:
+              faces: np.ndarray, binary: bool = False,
+              normals: np.ndarray = None) -> None:
     """Triangle mesh -> PLY. binary=True writes binary_little_endian 1.0
     (float32 xyz + `list uchar int` faces — the canonical DeepSDF output
-    layout); binary=False writes ascii 1.0. Either round-trips through
-    read_ply and the native preprocess loader losslessly (f32 verts)."""
+    layout); binary=False writes ascii 1.0. `normals` [N,3] adds
+    nx/ny/nz float vertex properties. Either variant round-trips
+    through read_ply and the native preprocess loader losslessly
+    (f32 verts)."""
     p = pathlib.Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int32)
+    nprops = ("property float nx\nproperty float ny\nproperty float nz\n"
+              if normals is not None else "")
     fmt = "binary_little_endian" if binary else "ascii"
     header = (f"ply\nformat {fmt} 1.0\n"
               f"element vertex {len(verts)}\n"
               "property float x\nproperty float y\nproperty float z\n"
+              + nprops +
               f"element face {len(faces)}\n"
               "property list uchar int vertex_indices\nend_header\n")
+    vdata = verts if normals is None else np.concatenate(
+        [verts, np.asarray(normals, np.float32)], axis=1)
     if binary:
         face_rec = np.empty(
             len(faces), np.dtype([("n", "u1"), ("idx", "<i4", (3,))]))
@@ -49,25 +181,26 @@ def write_ply(path: str | pathlib.Path, verts: np.ndarray,
         face_rec["idx"] = faces
         with p.open("wb") as f:
             f.write(header.encode("ascii"))
-            f.write(np.ascontiguousarray(verts, "<f4").tobytes())
+            f.write(np.ascontiguousarray(vdata, "<f4").tobytes())
             f.write(face_rec.tobytes())
         return
     with p.open("w") as f:
         f.write(header)
-        for v in verts:
-            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for v in vdata:
+            f.write(" ".join(f"{x:.6f}" for x in v) + "\n")
         for face in faces:
             f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
 
 
 def write_mesh(path: str | pathlib.Path, verts: np.ndarray,
-               faces: np.ndarray) -> None:
-    """Extension-dispatched writer: .obj -> OBJ, .ply -> binary PLY."""
+               faces: np.ndarray, normals: np.ndarray = None) -> None:
+    """Extension-dispatched writer: .obj -> OBJ, .ply -> binary PLY.
+    `normals` [N,3] adds vn lines / nx,ny,nz properties."""
     ext = pathlib.Path(path).suffix.lower()
     if ext == ".obj":
-        write_obj(path, verts, faces)
+        write_obj(path, verts, faces, normals=normals)
     elif ext == ".ply":
-        write_ply(path, verts, faces, binary=True)
+        write_ply(path, verts, faces, binary=True, normals=normals)
     else:
         raise ValueError(f"unsupported mesh format: {path}")
 
@@ -135,15 +268,18 @@ def _fan(idx_rows) -> np.ndarray:
     return np.asarray(faces, np.int64).reshape(-1, 3)
 
 
-def read_ply(path: str | pathlib.Path) -> tuple:
+def read_ply(path: str | pathlib.Path, with_normals: bool = False) -> tuple:
     """ascii or binary_little_endian PLY -> (verts f32 [N,3], faces i64
     [M,3]); polygons are fan-triangulated. Vertex x/y/z are located by
-    property NAME (extra per-vertex floats — normals, colors — are
-    skipped); faces must lead with their index list property."""
+    property NAME (extra per-vertex floats — colors — are skipped);
+    faces must lead with their index list property. with_normals=True
+    appends a third element: nx/ny/nz as [N,3] f32, or None when the
+    file carries no normals."""
     raw = pathlib.Path(path).read_bytes()
     fmt, elements, off = _parse_ply_header(raw)
     verts = np.zeros((0, 3), np.float32)
     faces = np.zeros((0, 3), np.int64)
+    nrm = None
     if fmt == "ascii":
         lines = raw[off:].decode("ascii").splitlines()
         row = 0
@@ -155,6 +291,12 @@ def read_ply(path: str | pathlib.Path) -> tuple:
                 verts = np.asarray(
                     [[float(lines[row + j].split()[c]) for c in cols]
                      for j in range(count)], np.float32)
+                ncols = [i for i, pr in enumerate(props)
+                         if pr[0] in ("nx", "ny", "nz")]
+                if len(ncols) == 3:
+                    nrm = np.asarray(
+                        [[float(lines[row + j].split()[c]) for c in ncols]
+                         for j in range(count)], np.float32)
             elif name == "face":
                 assert props and props[0][0] == "list"
                 idx_rows = []
@@ -164,7 +306,7 @@ def read_ply(path: str | pathlib.Path) -> tuple:
                                      for x in toks[1:1 + int(toks[0])]])
                 faces = _fan(idx_rows)
             row += count
-        return verts, faces
+        return (verts, faces, nrm) if with_normals else (verts, faces)
     # binary_little_endian
     buf = memoryview(raw)[off:]
     pos = 0
@@ -180,6 +322,11 @@ def read_ply(path: str | pathlib.Path) -> tuple:
             assert len(cols) == 3, "vertex needs x/y/z properties"
             verts = np.stack([arr[c].astype(np.float32) for c in cols],
                              axis=-1)
+            ncols = [f"p{i}" for i, pr in enumerate(props)
+                     if pr[0] in ("nx", "ny", "nz")]
+            if len(ncols) == 3:
+                nrm = np.stack([arr[c].astype(np.float32)
+                                for c in ncols], axis=-1)
             pos += rec.itemsize * count
         elif name == "face":
             assert props and props[0][0] == "list", \
@@ -209,7 +356,7 @@ def read_ply(path: str | pathlib.Path) -> tuple:
             rec = np.dtype([(f"p{i}", dt) for i, (_n, dt)
                             in enumerate(props)])
             pos += rec.itemsize * count
-    return verts, faces
+    return (verts, faces, nrm) if with_normals else (verts, faces)
 
 
 def read_ply_ascii(path: str | pathlib.Path) -> tuple:

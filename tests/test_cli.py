@@ -157,6 +157,15 @@ def test_decode_scenes_and_codes_file(exp, tmp_path):
               "--out", str(tmp_path / "lod"), "--simplify-faces", "300"])
         _, f_l = meshio.read_obj(tmp_path / "lod" / "scene_000.obj")
         assert 0 < len(f_l) <= 300
+    # --normals writes unit vertex normals into the PLY
+    main(["decode", str(exp), "--scene", "0", "--res", "24",
+          "--out", str(tmp_path / "nrm"), "--format", "ply",
+          "--normals"])
+    _, _, nn = meshio.read_ply(tmp_path / "nrm" / "scene_000.ply",
+                               with_normals=True)
+    assert nn is not None
+    np.testing.assert_allclose(np.linalg.norm(nn, axis=1), 1.0,
+                               atol=1e-5)
 
 
 def test_train_ad_resume(exp):

@@ -80,6 +80,59 @@ def test_meshio_roundtrip(tmp_path):
     np.testing.assert_array_equal(f5, faces)
 
 
+def test_meshio_vertex_normals_roundtrip(tmp_path):
+    # a flat square in the xy-plane: every vertex normal is exactly +z
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    nrm = meshio.vertex_normals(verts, faces)
+    np.testing.assert_allclose(nrm, [[0, 0, 1]] * 4, atol=1e-7)
+    # normals survive every format (binary PLY carries exact f32; the
+    # plain readers still work, ignoring the extra properties)
+    meshio.write_mesh(tmp_path / "n.ply", verts, faces, normals=nrm)
+    v2, f2, n2 = meshio.read_ply(tmp_path / "n.ply", with_normals=True)
+    np.testing.assert_array_equal(v2, verts)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_array_equal(n2, nrm)
+    v2b, f2b = meshio.read_ply(tmp_path / "n.ply")
+    np.testing.assert_array_equal(v2b, verts)
+    meshio.write_ply(tmp_path / "na.ply", verts, faces, normals=nrm)
+    _, _, n3 = meshio.read_ply(tmp_path / "na.ply", with_normals=True)
+    np.testing.assert_allclose(n3, nrm, atol=1e-6)
+    meshio.write_obj(tmp_path / "n.obj", verts, faces, normals=nrm)
+    v4, f4 = meshio.read_obj(tmp_path / "n.obj")  # vn lines skipped
+    np.testing.assert_allclose(v4, verts, atol=1e-6)
+    np.testing.assert_array_equal(f4, faces)
+    assert "vn 0.000000 0.000000 1.000000" in (
+        tmp_path / "n.obj").read_text()
+    # a file without normals reports None
+    meshio.write_ply(tmp_path / "plain.ply", verts, faces, binary=True)
+    _, _, none = meshio.read_ply(tmp_path / "plain.ply",
+                                 with_normals=True)
+    assert none is None
+
+
+def test_vertex_normals_sphere_radial():
+    from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops import isosurface
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        make_grid_points)
+    res = 33
+    pts = make_grid_points(res)
+    grid = analytic.sdf({"type": "sphere", "r": 0.5},
+                        pts).reshape(res, res, res)
+    v, f = isosurface.extract_mesh(grid)
+    n = meshio.vertex_normals(v, f)
+    radial = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = np.einsum("ij,ij->i", n, radial)
+    # harmonize_winding makes EVERY normal outward-radial (the raw
+    # marching-tet winding is mixed: ~half the normals flip without it)
+    assert cos.min() > 0.99
+    raw = meshio.vertex_normals(v, f, harmonize=False)
+    cos_raw = np.einsum("ij,ij->i", raw, radial)
+    assert cos_raw.min() < -0.9  # documents why harmonize exists
+
+
 def test_read_ply_foreign_layouts(tmp_path):
     """Reader handles external-tool layouts: extra vertex properties
     (normals), double precision coords, uint face indices, quads."""
