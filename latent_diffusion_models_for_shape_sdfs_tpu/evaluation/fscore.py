@@ -74,7 +74,11 @@ def normal_consistency(pred_pts: np.ndarray, pred_normals: np.ndarray,
 def sdf_normals(sdf_fn, pts: np.ndarray, h: float = 1e-4) -> np.ndarray:
     """Outward normals of an SDF's zero set at `pts` by central
     differences — the GT-normal source for analytic shapes (their SDFs
-    are exact, so the gradient is the true surface normal field)."""
+    are exact, so the gradient is the true surface normal field).
+
+    data/analytic.py sdf_grad is the same 7-line stencil specialized to
+    its shape dicts; kept separate deliberately — evaluation takes any
+    `sdf_fn` and the data layer must not depend on evaluation."""
     pts = np.asarray(pts, np.float64)
     g = np.empty_like(pts)
     for ax in range(3):

@@ -293,7 +293,11 @@ def _decode_latents_to_meshes(apply_fn, zs, res: int, cfg,
             meshio.write_mesh(
                 out_dir / f"{prefix}_{i:03d}.{mesh_format}", v, f)
 
-    if sc.hierarchical and res >= 64 and res % 16 == 0:
+    # the serving path is an iso=0 design (active-block selection and
+    # the int8 payload's clamp range are both centred on the zero
+    # level); a non-zero iso_level keeps the dense/adaptive route below
+    if sc.hierarchical and res >= 64 and res % 16 == 0 \
+            and sc.iso_level == 0.0:
         from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
             serve_meshes)
         payload_dtype = ("float32"
@@ -451,6 +455,11 @@ def run_eval(exp_dir: str, num_points: int = 30_000,
         raise ValueError(f"run_eval: no GT surface source for "
                          f"{cfg.data_source!r}")
     decoder, ad_state = load_ad_state(exp_dir)
+    # a data dir can hold MORE files than the run trained codes for
+    # (files added later / superset dir); JAX's clamping gather would
+    # silently reuse the last code for out-of-range scenes — evaluate
+    # only the scenes that actually have a trained latent
+    n_scenes = min(n_scenes, int(ad_state.codes.shape[0]))
     apply_fn = make_fast_apply(decoder, ad_state.params)
     results = {}
     f_results = {}

@@ -131,6 +131,13 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     """
     import jax.numpy as jnp
 
+    if iso != 0.0 and out_dtype == "int8":
+        # int8 payload values are CLAMPED to +-tau2 (hier3_int8_scale):
+        # any |iso| >= tau2 level set would come back silently empty —
+        # refuse instead of producing wrong geometry
+        raise ValueError(
+            "serve_meshes: iso != 0 needs a magnitude-preserving "
+            "payload; pass out_dtype='float32' (or 'bfloat16')")
     cap1, cap2, cap3 = caps or _default_caps(res)
     dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None
     # enqueue every decode before consuming any payload (async dispatch)
@@ -210,8 +217,15 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     if mesh_workers is None:
         mesh_workers = _auto_workers()
     if mesh_workers <= 1:
-        for job in jobs():
-            yield mesh_job(*job)
+        # one-job lookahead: advancing jobs() is what issues shape
+        # i+1's copy_to_host_async, so pull it BEFORE meshing shape i —
+        # serial hosting still overlaps transfer with meshing
+        it = jobs()
+        prev = next(it, None)
+        while prev is not None:
+            nxt = next(it, None)
+            yield mesh_job(*prev)
+            prev = nxt
         return
     with ThreadPoolExecutor(max_workers=mesh_workers) as pool:
         futures = [pool.submit(mesh_job, *job) for job in jobs()]
@@ -240,6 +254,11 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
 
     if len(latents) == 0:
         return
+    if iso != 0.0 and out_dtype == "int8":
+        raise ValueError(
+            "serve_meshes_sharded: iso != 0 needs a magnitude-"
+            "preserving payload; pass out_dtype='float32' (or "
+            "'bfloat16')")
 
     cap1, cap2, cap3 = caps or _default_caps(res)
     dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None

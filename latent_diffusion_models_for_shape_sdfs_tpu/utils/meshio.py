@@ -71,14 +71,17 @@ def harmonize_winding(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
                 stack.append(nb)
         n_comp += 1
     f[flip] = f[flip][:, ::-1]
-    # outward sign per component via signed volume (divergence theorem)
+    # outward sign per component via signed volume (divergence theorem);
+    # one bincount pass — a per-component boolean scan is O(F*n_comp)
+    # and degenerates on many-component noise meshes
     tri = v[f]
     svol = np.einsum("ij,ij->i", tri[:, 0],
                      np.cross(tri[:, 1], tri[:, 2])) / 6.0
-    for c in range(n_comp):
-        sel = comp == c
-        if svol[sel].sum() < 0:
-            f[sel] = f[sel][:, ::-1]
+    totals = np.bincount(comp, weights=svol, minlength=n_comp)
+    neg = np.flatnonzero(totals < 0)
+    if len(neg):
+        sel = np.isin(comp, neg)
+        f[sel] = f[sel][:, ::-1]
     return f
 
 
@@ -285,15 +288,17 @@ def read_ply(path: str | pathlib.Path, with_normals: bool = False) -> tuple:
         row = 0
         for name, count, props in elements:
             if name == "vertex":
-                cols = [i for i, pr in enumerate(props)
-                        if pr[0] in ("x", "y", "z")]
-                assert len(cols) == 3, "vertex needs x/y/z properties"
+                # by NAME and in (x, y, z) order — the PLY spec puts no
+                # constraint on property declaration order
+                by = {pr[0]: i for i, pr in enumerate(props)}
+                assert all(k in by for k in "xyz"), \
+                    "vertex needs x/y/z properties"
+                cols = [by[k] for k in ("x", "y", "z")]
                 verts = np.asarray(
                     [[float(lines[row + j].split()[c]) for c in cols]
                      for j in range(count)], np.float32)
-                ncols = [i for i, pr in enumerate(props)
-                         if pr[0] in ("nx", "ny", "nz")]
-                if len(ncols) == 3:
+                if all(k in by for k in ("nx", "ny", "nz")):
+                    ncols = [by[k] for k in ("nx", "ny", "nz")]
                     nrm = np.asarray(
                         [[float(lines[row + j].split()[c]) for c in ncols]
                          for j in range(count)], np.float32)
@@ -317,16 +322,14 @@ def read_ply(path: str | pathlib.Path, with_normals: bool = False) -> tuple:
             rec = np.dtype([(f"p{i}", dt) for i, (_n, dt)
                             in enumerate(props)])
             arr = np.frombuffer(buf, rec, count, pos)
-            cols = [f"p{i}" for i, pr in enumerate(props)
-                    if pr[0] in ("x", "y", "z")]
-            assert len(cols) == 3, "vertex needs x/y/z properties"
-            verts = np.stack([arr[c].astype(np.float32) for c in cols],
-                             axis=-1)
-            ncols = [f"p{i}" for i, pr in enumerate(props)
-                     if pr[0] in ("nx", "ny", "nz")]
-            if len(ncols) == 3:
-                nrm = np.stack([arr[c].astype(np.float32)
-                                for c in ncols], axis=-1)
+            by = {pr[0]: f"p{i}" for i, pr in enumerate(props)}
+            assert all(k in by for k in "xyz"), \
+                "vertex needs x/y/z properties"
+            verts = np.stack([arr[by[k]].astype(np.float32)
+                              for k in ("x", "y", "z")], axis=-1)
+            if all(k in by for k in ("nx", "ny", "nz")):
+                nrm = np.stack([arr[by[k]].astype(np.float32)
+                                for k in ("nx", "ny", "nz")], axis=-1)
             pos += rec.itemsize * count
         elif name == "face":
             assert props and props[0][0] == "list", \
@@ -353,6 +356,10 @@ def read_ply(path: str | pathlib.Path, with_normals: bool = False) -> tuple:
                     pos += csz + isz * k
                 faces = _fan(idx_rows)
         else:  # skip unknown scalar-only elements
+            if any(pr[0] == "list" for pr in props):
+                raise ValueError(
+                    f"binary PLY element {name!r} has a list property — "
+                    "variable stride, cannot skip")
             rec = np.dtype([(f"p{i}", dt) for i, (_n, dt)
                             in enumerate(props)])
             pos += rec.itemsize * count

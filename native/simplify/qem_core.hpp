@@ -129,20 +129,24 @@ class Simplifier {
       }
       ++alive_f_;
       for (int k = 0; k < 3; ++k) vf_[F_[i][k]].push_back(i);
+      // boundary/edge bookkeeping counts EVERY alive face, including
+      // zero-area slivers (index-distinct faces whose crossings landed
+      // on lattice points): skipping those here would misclassify the
+      // interior edges they share with regular faces as boundary and
+      // pin them with constraint planes
+      for (int k = 0; k < 3; ++k) {
+        const int64_t a = F_[i][k], b = F_[i][(k + 1) % 3];
+        ++ecount_[ekey(a, b)];
+      }
       const V3 n = detail::cross(detail::sub(V_[F_[i][1]], V_[F_[i][0]]),
                                  detail::sub(V_[F_[i][2]], V_[F_[i][0]]));
       const double len = detail::norm(n);
-      if (len < 1e-300) continue;
+      if (len < 1e-300) continue;  // no plane quadric from a sliver
       const double area = 0.5 * len;
       const V3 un = {n[0] / len, n[1] / len, n[2] / len};
       const double d = -detail::dot(un, V_[F_[i][0]]);
       for (int k = 0; k < 3; ++k)
         Q_[F_[i][k]].add_plane(un[0], un[1], un[2], d, area);
-      // boundary detection bookkeeping
-      for (int k = 0; k < 3; ++k) {
-        const int64_t a = F_[i][k], b = F_[i][(k + 1) % 3];
-        ++ecount_[ekey(a, b)];
-      }
     }
     add_boundary_constraints();
   }

@@ -80,6 +80,32 @@ def test_meshio_roundtrip(tmp_path):
     np.testing.assert_array_equal(f5, faces)
 
 
+def test_read_ply_out_of_order_properties(tmp_path):
+    """The PLY spec puts no constraint on property declaration order:
+    a z/y/x file must load as (x, y, z), not in file order."""
+    p = tmp_path / "zyx.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 3\n"
+        "property float z\nproperty float y\nproperty float x\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "3 2 1\n6 5 4\n9 8 7\n"
+        "3 0 1 2\n")
+    v, f = meshio.read_ply(p)
+    np.testing.assert_allclose(v, [[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+    # binary variant: z declared first
+    b = tmp_path / "zyx.bply"
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              "element vertex 2\n"
+              "property float z\nproperty float y\nproperty float x\n"
+              "element face 0\n"
+              "property list uchar int vertex_indices\nend_header\n")
+    data = np.asarray([[3, 2, 1], [6, 5, 4]], "<f4")
+    b.write_bytes(header.encode() + data.tobytes())
+    v2, _ = meshio.read_ply(b)
+    np.testing.assert_allclose(v2, [[1, 2, 3], [4, 5, 6]])
+
+
 def test_meshio_vertex_normals_roundtrip(tmp_path):
     # a flat square in the xy-plane: every vertex normal is exactly +z
     verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],

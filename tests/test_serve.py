@@ -161,6 +161,16 @@ def test_payload_direct_mc_matches_grid_mc():
         np.testing.assert_array_equal(fp, fd)
 
 
+def test_serve_meshes_nonzero_iso_int8_refused():
+    """int8 payload values clamp to +-tau2, so a non-zero iso level
+    through the default payload would mesh silently empty — the serving
+    entry must refuse instead (use float32/bfloat16 payloads)."""
+    import pytest
+    z = np.asarray([0.5, 0.0], np.float32)
+    with pytest.raises(ValueError, match="magnitude-preserving"):
+        list(serve_meshes(sphere_apply, [z], res=64, iso=0.05))
+
+
 def test_serve_meshes_nonzero_iso_falls_back():
     """iso != 0 must bypass the payload-direct/block-scan fast paths
     (their active-block guarantee only holds at the zero level) and
