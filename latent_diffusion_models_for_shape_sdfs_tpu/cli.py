@@ -44,14 +44,16 @@ def cmd_train_ad(args):
         run_train_ad)
     run_train_ad(args.exp_dir, resume=args.resume,
                  fault_inject_epoch=args.fault_inject,
-                 debug_nans=args.debug_nans)
+                 debug_nans=args.debug_nans,
+                 tensorboard=args.tensorboard)
     print("stage-1 training complete")
 
 
 def cmd_train_diff(args):
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
         run_train_diff)
-    run_train_diff(args.exp_dir, resume=args.resume)
+    run_train_diff(args.exp_dir, resume=args.resume,
+                   tensorboard=args.tensorboard)
     print("stage-2 training complete")
 
 
@@ -259,11 +261,15 @@ def main(argv=None):
                    metavar="EPOCH", help="debug: die after EPOCH's ckpt")
     s.add_argument("--debug-nans", action="store_true",
                    help="run under jax nan-checker (CI numerics mode)")
+    s.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics as TB scalars (<exp>/logs/tb)")
     s.set_defaults(fn=cmd_train_ad)
 
     s = sub.add_parser("train-diff", help="stage-2 diffusion training")
     s.add_argument("exp_dir")
     s.add_argument("--resume", action="store_true")
+    s.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics as TB scalars (<exp>/logs/tb)")
     s.set_defaults(fn=cmd_train_diff)
 
     s = sub.add_parser("sample", help="sample latents -> meshes")

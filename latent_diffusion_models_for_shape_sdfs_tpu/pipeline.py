@@ -59,16 +59,21 @@ def build_dataset(cfg: ExperimentConfig) -> SdfDataset:
 def run_train_ad(exp_dir: str, resume: bool = False,
                  dataset: Optional[SdfDataset] = None,
                  fault_inject_epoch: Optional[int] = None,
-                 debug_nans: bool = False) -> AdTrainState:
+                 debug_nans: bool = False,
+                 tensorboard: bool = False) -> AdTrainState:
     """`fault_inject_epoch`: kill the process right after that epoch's
     checkpoint (SURVEY.md s5.3 failure-recovery drill; resume with
-    --resume). `debug_nans`: run under jax's NaN checker (s5.2)."""
+    --resume). `debug_nans`: run under jax's NaN checker (s5.2).
+    `tensorboard`: mirror numeric metrics as TB scalars under
+    <exp>/logs/tb (s5.5; JSONL stays the source of truth)."""
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
     dataset = dataset or build_dataset(cfg)
     decoder = SdfDecoder(cfg.ad.decoder)
     ckpt = StageCheckpointer(exp_dir, "auto_decoder")
-    logger = MetricLogger(lay["logs"] / "train_ad.jsonl", echo=True)
+    logger = MetricLogger(lay["logs"] / "train_ad.jsonl", echo=True,
+                          tensorboard=(lay["logs"] / "tb" / "ad")
+                          if tensorboard else None)
 
     state = init_ad_state(cfg.ad, decoder, jax.random.PRNGKey(cfg.ad.seed))
     start_epoch = 0
@@ -134,7 +139,8 @@ def _cond_banks(cfg: ExperimentConfig, dataset: Optional[SdfDataset]):
 
 
 def run_train_diff(exp_dir: str, resume: bool = False,
-                   dataset: Optional[SdfDataset] = None) -> tuple:
+                   dataset: Optional[SdfDataset] = None,
+                   tensorboard: bool = False) -> tuple:
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
     _, ad_state = load_ad_state(exp_dir)
@@ -145,7 +151,9 @@ def run_train_diff(exp_dir: str, resume: bool = False,
 
     model = CondDenoiser(cfg.diff.denoiser)
     ckpt = StageCheckpointer(exp_dir, "diffusion")
-    logger = MetricLogger(lay["logs"] / "train_diff.jsonl", echo=True)
+    logger = MetricLogger(lay["logs"] / "train_diff.jsonl", echo=True,
+                          tensorboard=(lay["logs"] / "tb" / "diff")
+                          if tensorboard else None)
     state = init_diff_state(cfg.diff, model,
                             jax.random.PRNGKey(cfg.diff.seed))
     if resume and ckpt.latest_step() is not None:

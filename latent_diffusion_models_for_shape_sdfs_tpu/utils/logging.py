@@ -19,10 +19,18 @@ import jax
 
 
 class MetricLogger:
-    """Append-only JSONL event log; stdout echo optional."""
+    """Append-only JSONL event log; stdout echo optional.
+
+    `tensorboard`: optional event-file directory — numeric fields of
+    every record that carries a `step` or `epoch` are mirrored as
+    `<event>/<field>` scalars (SURVEY.md section 5.5's "optional
+    TensorBoard scalars"). TensorFlow is imported lazily only when the
+    directory is given; JSONL stays the source of truth either way.
+    """
 
     def __init__(self, path: Optional[str | pathlib.Path] = None,
-                 echo: bool = False):
+                 echo: bool = False,
+                 tensorboard: Optional[str | pathlib.Path] = None):
         self.path = pathlib.Path(path) if path else None
         self.echo = echo
         if self.path:
@@ -30,6 +38,12 @@ class MetricLogger:
             self._f = self.path.open("a")
         else:
             self._f = None
+        self._tb = None
+        self._tf = None
+        if tensorboard is not None:
+            import tensorflow as tf  # heavy: only on request
+            self._tf = tf
+            self._tb = tf.summary.create_file_writer(str(tensorboard))
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"event": event, "time": time.time(), **fields}
@@ -39,10 +53,25 @@ class MetricLogger:
             self._f.flush()
         if self.echo:
             print(line)
+        if self._tb is not None:
+            step = fields.get("step", fields.get("epoch"))
+            if step is not None:
+                with self._tb.as_default():
+                    for k, v in fields.items():
+                        if k in ("step", "epoch"):
+                            continue
+                        try:
+                            self._tf.summary.scalar(f"{event}/{k}",
+                                                    float(v),
+                                                    step=int(step))
+                        except (TypeError, ValueError):
+                            pass  # non-scalar field (str, array, ...)
 
     def close(self) -> None:
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Timer:
