@@ -130,8 +130,9 @@ class SampleConfig:
     """Generation: latent sampling + grid decode + isosurface."""
 
     num_samples: int = 8
-    sampler: str = "ddim"            # "ddim" | "ddpm"
+    sampler: str = "ddim"            # "ddim" | "ddpm" | "dpm" (2M)
     ddim_steps: int = 50
+    dpm_steps: int = 10              # DPM-Solver++(2M) denoiser calls
     guidance_scale: float = 0.0      # classifier-free guidance (cond models)
     grid_res: int = 128
     grid_chunk: int = 262144         # query points per decode chunk

@@ -92,6 +92,68 @@ def ddim_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
     return z0
 
 
+def dpm_solver_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
+                      key: jax.Array, num: int, latent_size: int,
+                      steps: int = 10) -> jnp.ndarray:
+    """DPM-Solver++(2M): second-order multistep ODE solver in the
+    data-prediction parameterization (Lu et al. 2022, the standard
+    few-step sampler of the diffusers ecosystem). Integrates the SAME
+    probability-flow ODE as eta=0 DDIM, but the 2nd-order multistep
+    correction gives DDIM-50-quality samples in ~10 denoiser calls —
+    the denoiser call count IS the sampling cost, so this is a direct
+    ~5x sampling-throughput lever at matched fidelity.
+
+    One `lax.scan`, fully on-device like ddim_sample; deterministic
+    given the key (only z_T is random). Uses the same strided timestep
+    subsequence as DDIM (ddim_timesteps) and, like DDIM's abar_prev[0]=1
+    endpoint, finishes with a first-order step onto the clean manifold
+    (the standard lower-order-final rule — the 2M correction diverges
+    as lambda -> inf). Returns z_0 [num, L].
+
+    Regime note (measured on the exact-Gaussian-denoiser oracle,
+    tests/test_dpm_solver.py): vs a DDIM-400 reference trajectory the
+    mean endpoint error is 5.7x below DDIM at 10 steps and 2x at 5 —
+    the few-step regime this exists for. At >= 20 steps the uniform-t
+    stride's exploding final lambda-intervals make the 2M extrapolation
+    noisy and plain DDIM is already accurate; use DDIM there.
+    """
+    T = schedule.timesteps
+    key, k0 = jax.random.split(key)
+    z_T = jax.random.normal(k0, (num, latent_size), jnp.float32)
+
+    ts_desc = ddim_timesteps(T, steps)[::-1]          # [S] descending
+    abar = schedule.alpha_bars[ts_desc]               # state at step j
+    a_from = jnp.sqrt(abar)
+    s_from = jnp.sqrt(1.0 - abar)
+    a_to = jnp.concatenate([a_from[1:], jnp.ones((1,), jnp.float32)])
+    s_to = jnp.concatenate([s_from[1:], jnp.zeros((1,), jnp.float32)])
+    lam = jnp.log(a_from / s_from)                    # half-logSNR
+    # e^{-h_j} without forming the infinite final h: (a_from s_to) /
+    # (a_to s_from) -> exactly 0 at the sigma_to = 0 endpoint
+    exp_neg_h = (a_from * s_to) / (a_to * s_from)
+    h = jnp.concatenate([lam[1:], lam[-1:] ]) - lam   # h[-1] unused
+    # 2M correction weight c_j = h_j / (2 h_{j-1}); 0 for the first
+    # step (no history) and the last (lower-order-final)
+    c = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                         h[1:] / (2.0 * h[:-1])])
+    c = c.at[-1].set(0.0)
+    sigma_ratio = jnp.where(s_from > 0, s_to / s_from, 0.0)
+
+    def body(carry, j):
+        z, x0_prev = carry
+        tb = jnp.full((num,), ts_desc[j], jnp.int32)
+        eps_hat = denoise_fn(z, tb)
+        x0 = (z - s_from[j] * eps_hat) / a_from[j]
+        d = (1.0 + c[j]) * x0 - c[j] * x0_prev
+        z_next = (sigma_ratio[j] * z
+                  - a_to[j] * (exp_neg_h[j] - 1.0) * d)
+        return (z_next, x0), ()
+
+    (z0, _), _ = jax.lax.scan(body, (z_T, jnp.zeros_like(z_T)),
+                              jnp.arange(steps))
+    return z0
+
+
 def guided_denoise_fn(apply_fn: Callable, params, guidance_scale: float,
                       class_id: jnp.ndarray | None = None,
                       **cond_kwargs) -> DenoiseFn:

@@ -257,6 +257,11 @@ def run_sample(exp_dir: str, num: Optional[int] = None,
     L = cfg.diff.denoiser.latent_size
     if sc.sampler == "ddim":
         zn = ddim_sample(fn, schedule, key, num, L, steps=sc.ddim_steps)
+    elif sc.sampler == "dpm":
+        from latent_diffusion_models_for_shape_sdfs_tpu.diffusion. \
+            sampler import dpm_solver_sample
+        zn = dpm_solver_sample(fn, schedule, key, num, L,
+                               steps=sc.dpm_steps)
     else:
         zn = ddpm_sample(fn, schedule, key, num, L)
     zs = unnormalize_codes(zn, mu, sigma)

@@ -68,6 +68,21 @@ def test_train_diff_and_sample(exp):
     assert len(objs) == 2
 
 
+def test_sample_with_dpm_solver(exp):
+    # switch the experiment to the 10-step DPM-Solver++(2M) sampler
+    specs = json.loads((exp / "specs.json").read_text())
+    specs["sample"]["sampler"] = "dpm"
+    specs["sample"]["dpm_steps"] = 8
+    (exp / "specs.json").write_text(json.dumps(specs))
+    try:
+        main(["sample", str(exp), "--num", "2", "--res", "24"])
+        objs = list((exp / "samples").glob("*.obj"))
+        assert len(objs) >= 2
+    finally:
+        specs["sample"]["sampler"] = "ddim"
+        (exp / "specs.json").write_text(json.dumps(specs))
+
+
 def test_reconstruct(exp):
     main(["reconstruct", str(exp), "--analytic", "sphere",
           "--points", "1024", "--res", "24", "--name", "r0"])
