@@ -53,15 +53,20 @@ def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
 
 
 def make_dp_ddim_fn(denoise_fn, schedule, num: int, latent_size: int,
-                    mesh: Mesh, steps: int = 50):
+                    mesh: Mesh, steps: int = 50,
+                    sampler: str = "ddim"):
     """Jitted key -> z0 [num, L] with the sample batch sharded over the
-    mesh (factory form so AOT sharding tests can lower without devices)."""
+    mesh (factory form so AOT sharding tests can lower without devices).
+    `sampler`: "ddim" or "dpm" (DPM-Solver++(2M), few-step) — both scan
+    bodies are elementwise per latent, so the identical batch sharding
+    applies with no collectives inside the loop."""
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler import (
-        ddim_sample)
+        ddim_sample, dpm_solver_sample)
     n = mesh.size
     assert num % n == 0, f"num={num} not divisible by mesh size {n}"
+    fn = {"ddim": ddim_sample, "dpm": dpm_solver_sample}[sampler]
     return jax.jit(
-        partial(ddim_sample, denoise_fn, schedule, num=num,
+        partial(fn, denoise_fn, schedule, num=num,
                 latent_size=latent_size, steps=steps),
         out_shardings=batch_sharded(mesh, 2))
 

@@ -323,20 +323,22 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
 def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,
                     latent_size: int, mu=None, sigma=None,
                     steps: int = 50, res: int = 256,
-                    **serve_kw) -> Iterator[tuple]:
-    """Full generation service: DDIM-50 sample n latents on device, then
-    stream meshes via serve_meshes. mu/sigma are the stage-2 code
-    normalization moments (train.diffusion); None skips un-normalization.
-    Conditioning/CFG is the caller's concern: pass an already-wrapped
-    denoise_fn (diffusion.sampler.guided_denoise_fn).
+                    sampler: str = "ddim", **serve_kw) -> Iterator[tuple]:
+    """Full generation service: sample n latents on device (`sampler`:
+    "ddim" default, or "dpm" = DPM-Solver++(2M) few-step — pair it with
+    steps~10), then stream meshes via serve_meshes. mu/sigma are the
+    stage-2 code normalization moments (train.diffusion); None skips
+    un-normalization. Conditioning/CFG is the caller's concern: pass an
+    already-wrapped denoise_fn (diffusion.sampler.guided_denoise_fn).
     """
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler \
-        import ddim_sample
+        import ddim_sample, dpm_solver_sample
     from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion \
         import unnormalize_codes
 
-    zs = ddim_sample(denoise_fn, schedule, key, n, latent_size,
-                     steps=steps)
+    sample_fn = {"ddim": ddim_sample, "dpm": dpm_solver_sample}[sampler]
+    zs = sample_fn(denoise_fn, schedule, key, n, latent_size,
+                   steps=steps)
     if mu is not None:
         zs = unnormalize_codes(zs, mu, sigma)
     return serve_meshes(apply_fn, list(zs), res=res, **serve_kw)

@@ -131,6 +131,13 @@ def test_dp_ddim_out_sharding(amesh, batch_axes):
     txt = _lower_tpu(fn, key)
     assert _has_annot(txt, f"{num}x{L}xf32", f"[{batch_axes}, {{}}]"), \
         "z0 output not batch-sharded"
+    # the DPM-Solver++(2M) scan body is elementwise per latent too:
+    # identical batch sharding must lower
+    fn2 = make_dp_ddim_fn(lambda z, t: 0.1 * z, schedule, num, L, amesh,
+                          steps=4, sampler="dpm")
+    txt2 = _lower_tpu(fn2, key)
+    assert _has_annot(txt2, f"{num}x{L}xf32", f"[{batch_axes}, {{}}]"), \
+        "dpm z0 output not batch-sharded"
 
 
 @pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
