@@ -220,6 +220,43 @@ def cmd_export_decoder(args):
     print(f"wrote {out} ({len(blob)} bytes, res {args.res})")
 
 
+def cmd_export_sampler(args):
+    """Serialize the trained (EMA) denoiser's sampler as an AOT artifact:
+    z_T [num, L] -> decoder-space latents, loadable without model code
+    via export_artifact.load_sampler_program. Pairs with export-decoder
+    for a no-model-code noise -> meshes serving stack."""
+    import jax.numpy as jnp
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        ExperimentConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler \
+        import guided_denoise_fn
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule \
+        import DiffusionSchedule
+    from latent_diffusion_models_for_shape_sdfs_tpu.export_artifact import (
+        export_sampler_program)
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_diff_state)
+
+    cfg = ExperimentConfig.load(args.exp_dir)
+    model, dstate, (mu, sigma) = load_diff_state(args.exp_dir)
+    schedule = DiffusionSchedule.create(cfg.diff.timesteps,
+                                        cfg.diff.beta_start,
+                                        cfg.diff.beta_end)
+    cid = (jnp.full((args.num,), args.class_id, jnp.int32)
+           if args.class_id is not None else None)
+    fn = guided_denoise_fn(model.apply, dstate.ema_params,
+                           cfg.sample.guidance_scale, class_id=cid)
+    out = args.out or str(pathlib.Path(args.exp_dir)
+                          / f"sampler_{args.sampler}{args.steps}.zip")
+    blob = export_sampler_program(
+        fn, schedule, args.num, cfg.diff.denoiser.latent_size,
+        steps=args.steps, sampler=args.sampler, mu=mu, sigma=sigma,
+        platforms=args.platforms.split(",") if args.platforms else None,
+        path=out)
+    print(f"wrote {out} ({len(blob)} bytes, {args.sampler}-{args.steps}, "
+          f"batch {args.num})")
+
+
 def cmd_preprocess(args):
     """Mesh file(s) -> SDF sample .npz via the native C++ tool."""
     root = pathlib.Path(__file__).resolve().parents[1]
@@ -345,6 +382,19 @@ def main(argv=None):
     s.add_argument("--platforms",
                    help="comma list, e.g. tpu (default: current backend)")
     s.set_defaults(fn=cmd_export_decoder)
+
+    s = sub.add_parser("export-sampler", help="AOT sampler artifact "
+                       "(jax.export: z_T -> decoder-space latents)")
+    s.add_argument("exp_dir")
+    s.add_argument("--num", type=int, default=64,
+                   help="exported batch size (static in the artifact)")
+    s.add_argument("--steps", type=int, default=50)
+    s.add_argument("--sampler", choices=("ddim", "dpm"), default="ddim")
+    s.add_argument("--class-id", type=int, default=None)
+    s.add_argument("--out")
+    s.add_argument("--platforms",
+                   help="comma list, e.g. tpu (default: current backend)")
+    s.set_defaults(fn=cmd_export_sampler)
 
     s = sub.add_parser("preprocess", help="mesh -> SDF samples (native)")
     s.add_argument("mesh", help="mesh file or directory")

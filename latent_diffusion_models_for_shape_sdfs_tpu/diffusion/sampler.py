@@ -60,12 +60,19 @@ def ddim_timesteps(T: int, steps: int) -> jnp.ndarray:
 
 def ddim_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
                 key: jax.Array, num: int, latent_size: int,
-                steps: int = 50, eta: float = 0.0) -> jnp.ndarray:
+                steps: int = 50, eta: float = 0.0,
+                z_init: jnp.ndarray | None = None) -> jnp.ndarray:
     """DDIM over a strided `steps`-subsequence; eta=0 is deterministic given
-    z_T (SEMANTICS.md section 6). Returns z_0 [num, L]."""
+    z_T (SEMANTICS.md section 6). Returns z_0 [num, L].
+
+    `z_init` [num, L]: caller-provided z_T (standard normal) instead of
+    drawing from `key` — the AOT sampler artifact's entry, where the
+    noise must be an explicit input. The key split is unchanged so the
+    eta>0 noise stream is identical either way."""
     T = schedule.timesteps
     key, k0 = jax.random.split(key)
-    z_T = jax.random.normal(k0, (num, latent_size), jnp.float32)
+    z_T = (jax.random.normal(k0, (num, latent_size), jnp.float32)
+           if z_init is None else z_init)
     ts = ddim_timesteps(T, steps)                     # ascending
     abar = schedule.alpha_bars[ts]                    # [S]
     abar_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), abar[:-1]])
@@ -94,7 +101,8 @@ def ddim_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
 
 def dpm_solver_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
                       key: jax.Array, num: int, latent_size: int,
-                      steps: int = 10) -> jnp.ndarray:
+                      steps: int = 10,
+                      z_init: jnp.ndarray | None = None) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep ODE solver in the
     data-prediction parameterization (Lu et al. 2022, the standard
     few-step sampler of the diffusers ecosystem). Integrates the SAME
@@ -119,7 +127,8 @@ def dpm_solver_sample(denoise_fn: DenoiseFn, schedule: DiffusionSchedule,
     """
     T = schedule.timesteps
     key, k0 = jax.random.split(key)
-    z_T = jax.random.normal(k0, (num, latent_size), jnp.float32)
+    z_T = (jax.random.normal(k0, (num, latent_size), jnp.float32)
+           if z_init is None else z_init)
 
     ts_desc = ddim_timesteps(T, steps)[::-1]          # [S] descending
     abar = schedule.alpha_bars[ts_desc]               # state at step j

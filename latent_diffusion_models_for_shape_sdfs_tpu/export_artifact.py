@@ -156,6 +156,101 @@ class DecodeArtifact:
                                 iso, m.get("quant_scale"))
 
 
+def export_sampler_program(denoise_fn, schedule, num: int,
+                           latent_size: int, steps: int = 50,
+                           sampler: str = "ddim",
+                           mu=None, sigma=None,
+                           platforms: Optional[Sequence[str]] = None,
+                           path: Optional[str] = None) -> bytes:
+    """Serialize the latent sampler as a portable StableHLO artifact.
+
+    Exported signature: z_T [num, latent_size] f32 (caller-provided
+    standard normal) -> z_0 [num, latent_size] f32 in DECODER latent
+    space (the stage-2 normalization moments mu/sigma are baked in when
+    given) — pairs directly with the decode artifact for a
+    no-model-code noise -> latents -> meshes serving stack. Denoiser
+    params reachable from `denoise_fn` (incl. any CFG/conditioning
+    closure from diffusion.sampler.guided_denoise_fn) are captured as
+    constants. `sampler`: "ddim" (steps as given, eta=0) or "dpm"
+    (DPM-Solver++(2M), pair with steps~10). Deterministic: the output
+    depends only on z_T.
+    """
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.sampler \
+        import ddim_sample, dpm_solver_sample
+
+    sample_fn = {"ddim": ddim_sample, "dpm": dpm_solver_sample}[sampler]
+    mu_c = None if mu is None else jnp.asarray(mu, jnp.float32)
+    sigma_c = None if sigma is None else jnp.asarray(sigma, jnp.float32)
+
+    @jax.jit
+    def run(z_T):
+        z = sample_fn(denoise_fn, schedule, jax.random.PRNGKey(0),
+                      num, latent_size, steps=steps, z_init=z_T)
+        if mu_c is not None:
+            z = z * sigma_c + mu_c
+        return z
+
+    spec = jax.ShapeDtypeStruct((num, latent_size), jnp.float32)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    exp = jexport.export(run, **kw)(spec)
+    meta = {"kind": "sampler", "num": num, "latent_size": latent_size,
+            "steps": steps, "sampler": sampler,
+            "timesteps": int(schedule.timesteps),
+            "unnormalized": mu is not None,
+            "platforms": list(exp.platforms)}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        zf.writestr("program.bin", exp.serialize())
+    blob = buf.getvalue()
+    if path is not None:
+        pathlib.Path(path).write_bytes(blob)
+    return blob
+
+
+class SamplerArtifact:
+    """Loaded sampler artifact: z_T [num, L] -> z_0 [num, L]."""
+
+    def __init__(self, meta: dict, fn):
+        self.meta = meta
+        self._fn = fn
+
+    def sample(self, z_T) -> np.ndarray:
+        import jax.numpy as jnp
+        z_T = jnp.asarray(z_T, jnp.float32)
+        if z_T.shape != (self.meta["num"], self.meta["latent_size"]):
+            raise ValueError(
+                f"z_T shape {z_T.shape} != exported "
+                f"({self.meta['num']}, {self.meta['latent_size']})")
+        return np.asarray(self._fn(z_T))
+
+    def sample_seed(self, seed: int) -> np.ndarray:
+        """Convenience: draw z_T from a host numpy Generator."""
+        rng = np.random.default_rng(seed)
+        z_T = rng.standard_normal(
+            (self.meta["num"], self.meta["latent_size"])).astype(
+                np.float32)
+        return self.sample(z_T)
+
+
+def load_sampler_program(blob_or_path) -> SamplerArtifact:
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, (str, pathlib.Path)):
+        blob = pathlib.Path(blob_or_path).read_bytes()
+    else:
+        blob = blob_or_path
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        meta = json.loads(zf.read("meta.json"))
+        exp = jexport.deserialize(zf.read("program.bin"))
+    return SamplerArtifact(meta, jax.jit(exp.call))
+
+
 def load_decode_program(blob_or_path) -> DecodeArtifact:
     from jax import export as jexport
 

@@ -140,6 +140,21 @@ def test_export_decoder_artifact(exp, tmp_path):
     assert (g <= 0).any() and (g > 0).any()
 
 
+def test_export_sampler_artifact(exp, tmp_path):
+    out = tmp_path / "smp.zip"
+    main(["export-sampler", str(exp), "--num", "4", "--steps", "6",
+          "--sampler", "dpm", "--out", str(out)])
+    from latent_diffusion_models_for_shape_sdfs_tpu.export_artifact import (
+        load_sampler_program)
+    art = load_sampler_program(out)
+    assert art.meta["sampler"] == "dpm" and art.meta["num"] == 4
+    z = art.sample_seed(0)
+    import numpy as np
+    assert z.shape == (4, 8) and np.isfinite(z).all()
+    # unnormalization baked in: outputs live at code scale, not N(0,1)
+    assert art.meta["unnormalized"]
+
+
 def test_decode_scenes_and_codes_file(exp, tmp_path):
     main(["decode", str(exp), "--scene", "0", "1", "--res", "24"])
     objs = sorted((exp / "decoded").glob("scene_*.obj"))
