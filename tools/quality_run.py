@@ -417,9 +417,16 @@ def write_quality_md(report: dict) -> None:
           f"({report['ad_seconds']:.0f}s)",
           f"- train-set reconstruction Chamfer-L2 (16 chairs, 128^3): "
           f"median {report['train_chamfer_median']:.2e}, "
-          f"mean {report['train_chamfer_mean']:.2e}",
+          f"mean {report['train_chamfer_mean']:.2e}"
+          + (f"; F-score@0.01 median "
+             f"{report['train_fscore_tau01_median']:.3f}, normal "
+             f"consistency median "
+             f"{report['train_normal_consistency_median']:.3f}"
+             if "train_fscore_tau01_median" in report else ""),
           f"- held-out chair via latent optimization: Chamfer-L2 "
-          f"{report['held_out_chamfer']:.2e}",
+          f"{report['held_out_chamfer']:.2e}"
+          + (f" (F-score@0.01 {report['held_out_fscore_tau01']:.3f})"
+             if "held_out_fscore_tau01" in report else ""),
           f"- stage-2 eps-MSE after {report['diff_steps']} steps: "
           f"{report['diff_loss']:.3f}",
           f"- DDIM-50 samples decoding to real geometry: {n_ok}/8 "
