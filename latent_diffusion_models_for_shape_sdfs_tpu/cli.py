@@ -220,6 +220,25 @@ def cmd_export_decoder(args):
     print(f"wrote {out} ({len(blob)} bytes, res {args.res})")
 
 
+def cmd_serve_daemon(args):
+    """Watch-folder serving loop: latent .npy requests in, meshes out
+    (serve.watch_and_serve); stop with a STOP file or --max-idle."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        load_ad_state, make_fast_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        watch_and_serve)
+
+    decoder, ad_state = load_ad_state(args.exp_dir)
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    n = watch_and_serve(apply_fn, args.in_dir, args.out_dir,
+                        res=args.res, poll=args.poll,
+                        mesh_format=args.format,
+                        max_idle=args.max_idle,
+                        simplify_faces=args.simplify_faces,
+                        simplify_ratio=args.simplify)
+    print(f"served {n} request files")
+
+
 def cmd_export_sampler(args):
     """Serialize the trained (EMA) denoiser's sampler as an AOT artifact:
     z_T [num, L] -> decoder-space latents, loadable without model code
@@ -382,6 +401,21 @@ def main(argv=None):
     s.add_argument("--platforms",
                    help="comma list, e.g. tpu (default: current backend)")
     s.set_defaults(fn=cmd_export_decoder)
+
+    s = sub.add_parser("serve-daemon", help="watch-folder serving loop: "
+                       "latent .npy requests -> meshes")
+    s.add_argument("exp_dir")
+    s.add_argument("--in", dest="in_dir", required=True,
+                   help="request dir (drop .npy latents; STOP to quit)")
+    s.add_argument("--out", dest="out_dir", required=True)
+    s.add_argument("--res", type=int, default=256)
+    s.add_argument("--poll", type=float, default=0.5)
+    s.add_argument("--max-idle", type=float, default=None,
+                   help="exit after this many idle seconds (default: "
+                   "run until STOP)")
+    s.add_argument("--format", choices=("obj", "ply"), default="ply")
+    _add_lod_flags(s)
+    s.set_defaults(fn=cmd_serve_daemon)
 
     s = sub.add_parser("export-sampler", help="AOT sampler artifact "
                        "(jax.export: z_T -> decoder-space latents)")

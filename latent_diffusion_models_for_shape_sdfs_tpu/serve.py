@@ -342,3 +342,60 @@ def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,
     if mu is not None:
         zs = unnormalize_codes(zs, mu, sigma)
     return serve_meshes(apply_fn, list(zs), res=res, **serve_kw)
+
+
+def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
+                    poll: float = 0.5, mesh_format: str = "ply",
+                    max_idle: Optional[float] = None,
+                    **serve_kw) -> int:
+    """Long-running serving daemon: watch `in_dir` for latent `.npy`
+    files ([L] or [N, L]), decode each through serve_meshes, write
+    meshes + a stats sidecar under `out_dir`, and rename the input to
+    `<name>.npy.done`. One request file = one serve_meshes batch, so
+    the device pipelining and threaded host meshing apply per request.
+
+    Stop conditions: a file named ``STOP`` in `in_dir` (consumed and
+    removed), or `max_idle` seconds without new work (None = run until
+    STOP). Returns the number of request files served. Crash-safe by
+    construction: inputs are only renamed AFTER their outputs are fully
+    written, so a restarted daemon re-serves any half-done request.
+    """
+    import json as _json
+    import pathlib
+
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+
+    in_dir = pathlib.Path(in_dir)
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    served = 0
+    last_work = time.time()
+    while True:
+        stop = in_dir / "STOP"
+        if stop.exists():
+            stop.unlink()
+            break
+        reqs = sorted(p for p in in_dir.glob("*.npy")
+                      if not p.with_suffix(p.suffix + ".done").exists())
+        if not reqs:
+            if max_idle is not None and time.time() - last_work > max_idle:
+                break
+            time.sleep(poll)
+            continue
+        for req in reqs:
+            zs = np.asarray(np.load(req), np.float32)
+            zs = zs[None] if zs.ndim == 1 else zs
+            stats_all = []
+            for i, (v, f, st) in enumerate(serve_meshes(
+                    apply_fn, list(zs), res=res, **serve_kw)):
+                meshio.write_mesh(
+                    out_dir / f"{req.stem}_{i:03d}.{mesh_format}", v, f)
+                st["verts"] = len(v)
+                st["faces"] = len(f)
+                stats_all.append(st)
+            (out_dir / f"{req.stem}.stats.json").write_text(
+                _json.dumps(stats_all, indent=2, default=float))
+            req.rename(req.with_suffix(req.suffix + ".done"))
+            served += 1
+            last_work = time.time()
+    return served

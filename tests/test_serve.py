@@ -262,3 +262,47 @@ def test_serve_meshes_f32_payload_matches_dense_hier():
     got = sparse_to_grid(np.asarray(fill2), np.asarray(vals2),
                          np.asarray(ids2), st["active_l2"], 64, 4)
     np.testing.assert_array_equal(got, unblock_grid(np.asarray(full), 64, 4))
+
+
+def test_watch_and_serve_daemon(tmp_path):
+    """Watch-folder daemon: requests in, meshes + stats out, .done
+    markers, STOP shutdown — all driven from a writer thread."""
+    import json
+    import threading
+    import time as _time
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        watch_and_serve)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+
+    in_dir = tmp_path / "q"
+    out_dir = tmp_path / "meshes"
+    in_dir.mkdir()
+    np.save(in_dir / "a.npy", np.asarray([0.5, 0.0], np.float32))
+
+    def feed():
+        # second request (a batch of 2) lands while the daemon runs,
+        # then the STOP file
+        _time.sleep(0.3)
+        np.save(in_dir / "b.npy",
+                np.asarray([[0.2, 0.0], [0.8, 0.0]], np.float32))
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if (in_dir / "b.npy.done").exists():
+                break
+            _time.sleep(0.1)
+        (in_dir / "STOP").touch()
+
+    t = threading.Thread(target=feed)
+    t.start()
+    served = watch_and_serve(sphere_apply, in_dir, out_dir, res=64,
+                             poll=0.1)
+    t.join()
+    assert served == 2
+    assert (in_dir / "a.npy.done").exists()
+    assert not (in_dir / "STOP").exists()
+    v, f = meshio.read_ply(out_dir / "b_001.ply")
+    r = 0.35 + 0.1 * 0.8
+    assert np.abs(np.linalg.norm(v, axis=1) - r).max() < 0.04
+    stats = json.loads((out_dir / "b.stats.json").read_text())
+    assert len(stats) == 2 and stats[1]["verts"] == len(v)
+    assert (out_dir / "a_000.ply").exists()
