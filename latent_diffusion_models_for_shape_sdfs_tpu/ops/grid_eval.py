@@ -548,7 +548,7 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
     # the reconstructed grid's sign pattern (hence the crossing set) is
     # exactly the f32 payload's, and MC vertex interpolation shifts stay
     # at the few-percent-of-a-voxel scale (tests/test_serve.py).
-    if out_dtype == "int8":
+    if out_dtype in ("int8", "int4"):
         def conv(v):
             q = jnp.clip(jnp.round(v * (127.0 / tau2)), -127.0, 127.0)
             q = jnp.where((q == 0.0) & (v != 0.0), jnp.sign(v), q)
@@ -557,6 +557,23 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
         dt = jnp.dtype(out_dtype)
         conv = (lambda v: v.astype(dt)) if dt != jnp.float32 \
             else (lambda v: v)
+    if out_dtype == "int4":
+        # bandwidth mode: the fine rows (the payload's dominant bytes)
+        # pack to 4-bit two's-complement nibbles at clip tau2/2 — still
+        # >= the h*sqrt(3) bound on crossing-cell corner magnitudes, so
+        # sign preservation keeps the crossing set exact; vertex
+        # interpolation coarsens to a step of tau2/14 (~0.3 voxel,
+        # Chamfer-negligible; quantified in tests/test_serve.py). The
+        # small coarse cascade stays int8.
+        def conv_vals(v):
+            q = jnp.clip(jnp.round(v * (14.0 / tau2)), -7.0, 7.0)
+            q = jnp.where((q == 0.0) & (v != 0.0), jnp.sign(v), q)
+            q = q.astype(jnp.int8)
+            lo = q[..., 0::2] & 0xF
+            hi = q[..., 1::2] & 0xF
+            return (lo | (hi << 4)).astype(jnp.uint8)
+    else:
+        conv_vals = conv
     if layout == "sparse2":
         # Compact serving payload: the coarse fill cascade ships at its
         # NATIVE granularity — c1 [nb1^3] plus the active-parent c2 rows
@@ -564,7 +581,8 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
         # fill2 (512 KB of bf16 at 256^3). The host rebuilds fill2 with
         # two numpy scatters (sparse2_to_grid); values are identical, so
         # reconstruction stays bit-equal to the "sparse" payload's.
-        return (conv(c1), conv(c2), idx1, conv(vals2), ids2), n1, n2, n3
+        return (conv(c1), conv(c2), idx1, conv_vals(vals2),
+                ids2), n1, n2, n3
 
     # ---- b2-granularity fill cascade (c1 -> c2), then row assembly
     fill2 = _fill_cascade_gather(c1, c2, idx1, valid1, nb1, nb2, r1,
@@ -707,7 +725,7 @@ def decode_grid_hierarchical3_sparse2(apply_fn: ApplyFn, z: jnp.ndarray,
              "active_l3": n3,
              "payload_bytes": int(sum(a.nbytes for a in arrs)),
              "effective_voxels": res ** 3}
-    if out_dtype == "int8":
+    if out_dtype in ("int8", "int4"):
         stats["quant_scale"] = hier3_int8_scale(res, b2, safety)
     if check_overflow:
         stats["active_l1"] = int(n1)
@@ -725,6 +743,19 @@ def _sparse2_dequant(a, dequant_scale):
         assert dequant_scale is not None, \
             "int8 payload needs dequant_scale (hier3_int8_scale)"
         return a.astype(np.float32) * (dequant_scale / 127.0)
+    if a.dtype == np.uint8:
+        # packed int4 fine rows ("int4" bandwidth mode): two's-complement
+        # nibbles, even index low, odd index high; clip scale tau2/2
+        assert dequant_scale is not None, \
+            "int4 payload needs dequant_scale (hier3_int8_scale)"
+        lo = (a & 0xF).astype(np.int8)
+        hi = ((a >> 4) & 0xF).astype(np.int8)
+        lo = np.where(lo > 7, lo - 16, lo)
+        hi = np.where(hi > 7, hi - 16, hi)
+        out = np.empty(a.shape[:-1] + (a.shape[-1] * 2,), np.float32)
+        out[..., 0::2] = lo
+        out[..., 1::2] = hi
+        return out * (dequant_scale / 14.0)
     return a
 
 

@@ -118,10 +118,13 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     `out_dtype`: payload dtype. "int8" (default) quantizes at tau2/127
     with sign preservation — the crossing set is exactly the f32
     payload's (ops.grid_eval.decode_grid_hierarchical3_sparse2), vertex
-    shifts are a few percent of a voxel; "bfloat16" is the round-2
-    payload (crossing impact in QUALITY.md); pass "float32" for the
-    fp32 lineage-parity mode (bit-equal to the dense decode's
-    hierarchy). `mesh_workers` (None = cores+1, max 4) > 1 overlaps the host
+    shifts are a few percent of a voxel; "int4" is the bandwidth mode
+    (fine rows packed to nibbles: crossing set still exact, vertex
+    quantization coarsens to ~0.3 voxel — Chamfer-negligible — for
+    ~40% less d2h, worth it when the host link binds); "bfloat16" is
+    the round-2 payload (crossing impact in QUALITY.md); pass
+    "float32" for the fp32 lineage-parity mode (bit-equal to the dense
+    decode's hierarchy). `mesh_workers` (None = cores+1, max 4) > 1 overlaps the host
     grid-reconstruction + marching-cubes across shapes (results still
     yield in input order); 1 restores fully serial hosting.
 
@@ -131,15 +134,16 @@ def serve_meshes(apply_fn, latents: Sequence, res: int = 256,
     """
     import jax.numpy as jnp
 
-    if iso != 0.0 and out_dtype == "int8":
-        # int8 payload values are CLAMPED to +-tau2 (hier3_int8_scale):
+    if iso != 0.0 and out_dtype in ("int8", "int4"):
+        # int8/int4 payload values are CLAMPED (hier3_int8_scale):
         # any |iso| >= tau2 level set would come back silently empty —
         # refuse instead of producing wrong geometry
         raise ValueError(
             "serve_meshes: iso != 0 needs a magnitude-preserving "
             "payload; pass out_dtype='float32' (or 'bfloat16')")
     cap1, cap2, cap3 = caps or _default_caps(res)
-    dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None
+    dq = (hier3_int8_scale(res, 4, safety)
+          if out_dtype in ("int8", "int4") else None)
     # enqueue every decode before consuming any payload (async dispatch)
     pending = [decode_grid_hierarchical3_sparse2(
         apply_fn, jnp.asarray(z), res, 16, 4, 2, cap1, cap2, cap3,
@@ -254,14 +258,15 @@ def serve_meshes_sharded(apply_fn, latents: Sequence, mesh,
 
     if len(latents) == 0:
         return
-    if iso != 0.0 and out_dtype == "int8":
+    if iso != 0.0 and out_dtype in ("int8", "int4"):
         raise ValueError(
             "serve_meshes_sharded: iso != 0 needs a magnitude-"
             "preserving payload; pass out_dtype='float32' (or "
             "'bfloat16')")
 
     cap1, cap2, cap3 = caps or _default_caps(res)
-    dq = hier3_int8_scale(res, 4, safety) if out_dtype == "int8" else None
+    dq = (hier3_int8_scale(res, 4, safety)
+          if out_dtype in ("int8", "int4") else None)
     from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
         make_dp_sparse_decode_fn)
 

@@ -306,3 +306,46 @@ def test_watch_and_serve_daemon(tmp_path):
     stats = json.loads((out_dir / "b.stats.json").read_text())
     assert len(stats) == 2 and stats[1]["verts"] == len(v)
     assert (out_dir / "a_000.ply").exists()
+
+
+def test_int4_payload_bandwidth_mode():
+    """Packed-nibble fine rows ("int4"): the crossing set stays EXACTLY
+    the f32 payload's (sign preservation at clip tau2/2 >= the
+    h*sqrt(3) crossing-corner bound), fine-row bytes halve, and vertex
+    shifts stay bounded by the coarser quantization step (~0.3 voxel)."""
+    z = jnp.asarray([0.7, 0.0])
+    res = 64
+    h = 2.0 / (res - 1)
+    kw = dict(safety=1.2, safety3=2.0)
+    arrs_f, st_f = decode_grid_hierarchical3_sparse2(
+        sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096,
+        out_dtype="float32", **kw)
+    arrs_q, st_q = decode_grid_hierarchical3_sparse2(
+        sphere_apply, z, res, 16, 4, 2, 64, 1024, 4096,
+        out_dtype="int4", **kw)
+    assert np.asarray(arrs_q[3]).dtype == np.uint8
+    assert np.asarray(arrs_q[3]).shape[-1] * 2 \
+        == np.asarray(arrs_f[3]).shape[-1]
+    gf = sparse2_to_grid(*arrs_f, st_f["active_l1"], st_f["active_l2"],
+                         res, 16, 4)
+    gq = sparse2_to_grid(*arrs_q, st_q["active_l1"], st_q["active_l2"],
+                         res, 16, 4, dequant_scale=st_q["quant_scale"])
+    nz = gf != 0.0
+    assert np.array_equal(np.signbit(gq[nz]), np.signbit(gf[nz]))
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        extract_mesh)
+    vf, ff = extract_mesh(gf)
+    vq, fq = extract_mesh(gq)
+    assert len(vf) == len(vq) and len(ff) == len(fq)
+    shift = np.abs(vq - vf).max(axis=1)
+    assert shift.max() <= h + 1e-7
+    assert np.median(shift) < 0.35 * h  # ~10x coarser than int8
+    # e2e through serve_meshes (payload-direct mesher handles unpack)
+    out = list(serve_meshes(sphere_apply, [z], res=res,
+                            out_dtype="int4"))
+    v, f, st = out[0]
+    r = 0.35 + 0.1 * 0.7
+    assert np.abs(np.linalg.norm(v, axis=1) - r).max() < 0.05
+    out8 = list(serve_meshes(sphere_apply, [z], res=res,
+                             out_dtype="int8"))
+    assert st["payload_bytes"] < 0.75 * out8[0][2]["payload_bytes"]
