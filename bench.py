@@ -285,6 +285,27 @@ def main():
         f"MiB payload, {nv // nmesh} verts; per-shape d2h wait "
         f"{t_d2h / nmesh * 1e3:.0f} ms, host mesh "
         f"{t_mesh / nmesh * 1e3:.0f} ms)")
+
+    # ---------------- int4 bandwidth-mode serving (same shapes): pays
+    # ~40% fewer payload bytes for ~0.3-voxel vertex quantization —
+    # worth it iff the d2h wait above shows the link binding
+    next(iter(serve_meshes(apply_fast, zsrv[:1], res=256,
+                           out_dtype="int4")))  # compile+warm
+    t0 = time.perf_counter()
+    n4 = pay4 = 0
+    t_d2h4 = 0.0
+    for v, fcs, stt in serve_meshes(apply_fast, zsrv[1:], res=256,
+                                    out_dtype="int4"):
+        n4 += 1
+        pay4 += stt["payload_bytes"]
+        t_d2h4 += stt["t_d2h_wait_s"]
+    dt4 = (time.perf_counter() - t0) / n4
+    details["serve_256_int4_meshes_per_sec"] = 1.0 / dt4
+    details["serve_256_int4_payload_bytes_per_shape"] = pay4 // n4
+    details["serve_256_int4_d2h_wait_s_per_shape"] = t_d2h4 / n4
+    log(f"serve e2e 256^3 int4: {dt4 * 1e3:.0f} ms/mesh "
+        f"({pay4 // n4 / 2 ** 20:.2f} MiB payload, d2h wait "
+        f"{t_d2h4 / n4 * 1e3:.0f} ms)")
     del zsrv
 
     eff_rate = max(eff_256, eff_512, eff_b)
