@@ -75,7 +75,7 @@ def export_decode_program(apply_fn, latent_size: int, res: int,
             "safety": safety, "safety3": safety3,
             "out_dtype": out_dtype, "payload": "sparse2",
             "quant_scale": (hier3_int8_scale(res, 4, safety)
-                            if out_dtype == "int8" else None),
+                            if out_dtype in ("int8", "int4") else None),
             "platforms": list(exp.platforms)}
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:

@@ -133,3 +133,15 @@ def test_z_init_matches_internal_draw():
         a = np.asarray(live_fn(fn, s, key, 4, 8, steps=8))
         b = np.asarray(live_fn(fn, s, key, 4, 8, steps=8, z_init=z_T))
         np.testing.assert_array_equal(a, b)
+
+
+def test_int4_artifact_roundtrip():
+    # bandwidth-mode payload through the AOT path: meta carries the
+    # quant scale, grid/mesh dequant the packed nibbles correctly
+    blob = export_decode_program(sphere_apply, 2, 64, CAPS,
+                                 out_dtype="int4")
+    art = load_decode_program(blob)
+    assert art.meta["quant_scale"] is not None
+    v, f = art.mesh(np.asarray([0.7, 0.0], np.float32))
+    r = np.linalg.norm(v, axis=1)
+    assert len(f) > 500 and np.abs(r - 0.37).max() < 0.05
