@@ -116,7 +116,9 @@ def cmd_reconstruct(args):
     rows = rows[idx]
     _, v, f = run_reconstruct(args.exp_dir, rows[:, :3], rows[:, 3],
                               name=args.name, res=args.res,
-                              mesh_format=args.format)
+                              mesh_format=args.format,
+                              simplify_faces=args.simplify_faces,
+                              simplify_ratio=args.simplify)
     print(f"reconstructed mesh: {len(v)} verts, {len(f)} faces -> "
           f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}"
           f".{args.format}")
@@ -353,6 +355,7 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=None)
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    _add_lod_flags(s)
     s.set_defaults(fn=cmd_reconstruct)
 
     s = sub.add_parser("interpolate", help="latent-space shape morph "

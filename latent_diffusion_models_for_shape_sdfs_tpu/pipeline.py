@@ -397,9 +397,12 @@ def run_interpolate(exp_dir: str, scene_a: int, scene_b: int,
 
 def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
                     name: str = "recon", res: Optional[int] = None,
-                    mesh_format: str = "obj") -> tuple:
+                    mesh_format: str = "obj",
+                    simplify_faces: Optional[int] = None,
+                    simplify_ratio: Optional[float] = None) -> tuple:
     """Latent-optimize against observations, decode, write mesh
-    (`mesh_format`: "obj" or binary "ply"). Returns (z, verts, faces)."""
+    (`mesh_format`: "obj" or binary "ply"; optional QEM LOD budget).
+    Returns (z, verts, faces)."""
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
         reconstruct_latent)
     cfg = ExperimentConfig.load(exp_dir)
@@ -413,6 +416,11 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
     grid = np.asarray(decode_grid(apply_fn, z, res,
                                   chunk=cfg.sample.grid_chunk))
     v, f = extract_mesh(grid)
+    if simplify_faces is not None or simplify_ratio is not None:
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface \
+            import simplify_mesh
+        v, f = simplify_mesh(v, f, target_faces=simplify_faces,
+                             ratio=simplify_ratio)
     meshio.write_mesh(lay["reconstructions"] / f"{name}.{mesh_format}", v, f)
     return z, v, f
 
