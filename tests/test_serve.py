@@ -264,6 +264,16 @@ def test_serve_meshes_f32_payload_matches_dense_hier():
     np.testing.assert_array_equal(got, unblock_grid(np.asarray(full), 64, 4))
 
 
+def test_watch_and_serve_max_idle(tmp_path):
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        watch_and_serve)
+    (tmp_path / "q").mkdir()
+    served = watch_and_serve(sphere_apply, tmp_path / "q",
+                             tmp_path / "out", res=64, poll=0.05,
+                             max_idle=0.3)
+    assert served == 0  # idle exit, no STOP needed
+
+
 def test_watch_and_serve_daemon(tmp_path):
     """Watch-folder daemon: requests in, meshes + stats out, .done
     markers, STOP shutdown — all driven from a writer thread."""
