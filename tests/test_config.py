@@ -138,6 +138,31 @@ def test_meshio_vertex_normals_roundtrip(tmp_path):
     assert none is None
 
 
+def test_harmonize_winding_noise_mesh_invariant():
+    # many-component adversarial mesh: after harmonization every
+    # manifold (2-face) edge must run in OPPOSITE directions in its two
+    # faces — the definition of consistent orientation
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops import isosurface
+    rng = np.random.default_rng(5)
+    grid = rng.normal(size=(15, 15, 15)).astype(np.float32)
+    v, f = isosurface.marching_tetrahedra(grid)
+    assert len(f) > 3000
+    f2 = meshio.harmonize_winding(v, f)
+    assert f2.shape == f.shape
+    # same triangles as sets (only winding may differ)
+    np.testing.assert_array_equal(np.sort(f2, axis=1), np.sort(f, axis=1))
+    edges = np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]], f2[:, [2, 0]]])
+    key = edges.min(1).astype(np.int64) * (len(v) + 1) + edges.max(1)
+    fwd = edges[:, 0] < edges[:, 1]
+    order = np.argsort(key, kind="stable")
+    ks, fs = key[order], fwd[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    counts = np.diff(np.r_[starts, len(ks)])
+    two = starts[counts == 2]
+    assert len(two) > 1000
+    assert (fs[two] != fs[two + 1]).all()
+
+
 def test_vertex_normals_sphere_radial():
     from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
     from latent_diffusion_models_for_shape_sdfs_tpu.ops import isosurface
