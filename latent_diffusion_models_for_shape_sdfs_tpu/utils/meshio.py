@@ -94,7 +94,10 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray,
     two leaves the weights unchanged, unlike area or uniform weighting.
     `harmonize` (default) first makes the winding globally consistent +
     outward (harmonize_winding) — required for meshes from the
-    marching-tetrahedra extractors, whose raw winding is mixed."""
+    marching-tetrahedra extractors, whose raw winding is mixed.
+    Host cost ~7.5 us/face (3 s for a 400k-face serving mesh on the
+    1-core host, BFS-dominated) — fine for the opt-in --normals export
+    path it serves."""
     v = np.asarray(verts, np.float64)
     f = np.asarray(faces, np.int64)
     if harmonize:
