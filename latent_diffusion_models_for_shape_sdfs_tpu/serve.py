@@ -388,16 +388,28 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
             time.sleep(poll)
             continue
         for req in reqs:
-            zs = np.asarray(np.load(req), np.float32)
-            zs = zs[None] if zs.ndim == 1 else zs
-            stats_all = []
-            for i, (v, f, st) in enumerate(serve_meshes(
-                    apply_fn, list(zs), res=res, **serve_kw)):
-                meshio.write_mesh(
-                    out_dir / f"{req.stem}_{i:03d}.{mesh_format}", v, f)
-                st["verts"] = len(v)
-                st["faces"] = len(f)
-                stats_all.append(st)
+            try:
+                zs = np.asarray(np.load(req), np.float32)
+                zs = zs[None] if zs.ndim == 1 else zs
+                if zs.ndim != 2:
+                    raise ValueError(f"latents must be [L] or [N, L], "
+                                     f"got shape {zs.shape}")
+                stats_all = []
+                for i, (v, f, st) in enumerate(serve_meshes(
+                        apply_fn, list(zs), res=res, **serve_kw)):
+                    meshio.write_mesh(
+                        out_dir / f"{req.stem}_{i:03d}.{mesh_format}",
+                        v, f)
+                    st["verts"] = len(v)
+                    st["faces"] = len(f)
+                    stats_all.append(st)
+            except Exception as e:  # malformed request: quarantine,
+                # keep serving (a daemon must outlive bad inputs)
+                (out_dir / f"{req.stem}.error.json").write_text(
+                    _json.dumps({"error": f"{type(e).__name__}: {e}"}))
+                req.rename(req.with_suffix(req.suffix + ".failed"))
+                last_work = time.time()
+                continue
             (out_dir / f"{req.stem}.stats.json").write_text(
                 _json.dumps(stats_all, indent=2, default=float))
             req.rename(req.with_suffix(req.suffix + ".done"))

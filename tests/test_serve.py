@@ -264,6 +264,26 @@ def test_serve_meshes_f32_payload_matches_dense_hier():
     np.testing.assert_array_equal(got, unblock_grid(np.asarray(full), 64, 4))
 
 
+def test_watch_and_serve_quarantines_bad_requests(tmp_path):
+    import json
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        watch_and_serve)
+    q = tmp_path / "q"
+    q.mkdir()
+    (q / "junk.npy").write_bytes(b"not an npy at all")
+    np.save(q / "bad_shape.npy", np.zeros((2, 2, 2), np.float32))
+    np.save(q / "ok.npy", np.asarray([0.5, 0.0], np.float32))
+    served = watch_and_serve(sphere_apply, q, tmp_path / "out", res=64,
+                             poll=0.05, max_idle=0.5)
+    assert served == 1
+    assert (q / "junk.npy.failed").exists()
+    assert (q / "bad_shape.npy.failed").exists()
+    assert (q / "ok.npy.done").exists()
+    err = json.loads((tmp_path / "out" / "junk.error.json").read_text())
+    assert "error" in err
+    assert (tmp_path / "out" / "ok_000.ply").exists()
+
+
 def test_watch_and_serve_max_idle(tmp_path):
     from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
         watch_and_serve)
