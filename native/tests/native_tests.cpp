@@ -166,6 +166,45 @@ static void test_qem_simplify_sphere() {
   for (auto& kv : ecnt) CHECK(kv.second == 2);  // stays closed manifold
 }
 
+static void test_qem_simplify_noise_mesh() {
+  // adversarial input: random-sign grid -> maximal crossing density,
+  // many open rims, many components. Output must stay a valid
+  // manifold-or-boundary mesh at an aggressive budget. (Run under
+  // -DLDM_SANITIZE=ON this also sweeps the EdgeMap/boundary paths.)
+  const int R = 13;
+  std::vector<float> grid(static_cast<size_t>(R) * R * R);
+  uint64_t s = 0x9e3779b97f4a7c15ull;  // splitmix64 stream
+  for (auto& g : grid) {
+    s += 0x9e3779b97f4a7c15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    z ^= z >> 31;
+    g = static_cast<float>(static_cast<int64_t>(z)) / 9.22e18f;
+  }
+  const float origin[3] = {-1, -1, -1};
+  mt::MeshOut m = mt::extract(grid.data(), R, 0.0f, origin,
+                              2.0f / (R - 1));
+  const int64_t nf_in = static_cast<int64_t>(m.faces.size() / 3);
+  CHECK(nf_in > 2000);
+  mt::MeshOut q = qem::simplify(m.verts.data(), m.verts.size() / 3,
+                                m.faces.data(), nf_in, nf_in / 5, -1.0);
+  const int64_t nv = static_cast<int64_t>(q.verts.size() / 3);
+  const int64_t nf = static_cast<int64_t>(q.faces.size() / 3);
+  CHECK(nf > 0 && nf <= nf_in / 5 + nf_in / 20);  // best-effort budget
+  std::map<std::pair<int64_t, int64_t>, int> ecnt;
+  for (int64_t i = 0; i < nf; ++i) {
+    int64_t f[3] = {q.faces[3 * i], q.faces[3 * i + 1],
+                    q.faces[3 * i + 2]};
+    CHECK(f[0] != f[1] && f[1] != f[2] && f[0] != f[2]);
+    CHECK(f[0] >= 0 && f[0] < nv && f[1] >= 0 && f[1] < nv && f[2] >= 0
+          && f[2] < nv);
+    for (int k = 0; k < 3; ++k)
+      ++ecnt[std::minmax(f[k], f[(k + 1) % 3])];
+  }
+  for (auto& kv : ecnt) CHECK(kv.second <= 2);  // no non-manifold fins
+}
+
 static void test_npz_structure() {
   // minimal structural check: magic numbers + sizes land where expected
   float a[8] = {1, 2, 3, 4, 5, 6, 7, 8};
@@ -187,6 +226,7 @@ int main() {
   test_mt_sphere();
   test_mt_linear_field();
   test_qem_simplify_sphere();
+  test_qem_simplify_noise_mesh();
   test_npz_structure();
   if (failures == 0) std::printf("ALL NATIVE TESTS PASSED\n");
   return failures == 0 ? 0 : 1;
