@@ -118,7 +118,9 @@ def cmd_reconstruct(args):
                               name=args.name, res=args.res,
                               mesh_format=args.format,
                               simplify_faces=args.simplify_faces,
-                              simplify_ratio=args.simplify)
+                              simplify_ratio=args.simplify,
+                              diffusion_prior=args.diffusion_prior,
+                              sds_weight=args.sds_weight)
     print(f"reconstructed mesh: {len(v)} verts, {len(f)} faces -> "
           f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}"
           f".{args.format}")
@@ -355,6 +357,11 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=None)
     s.add_argument("--format", choices=("obj", "ply"), default="obj",
                    help="mesh output format (ply = binary little-endian)")
+    s.add_argument("--diffusion-prior", action="store_true",
+                   help="regularize with the trained stage-2 denoiser "
+                        "(score distillation) instead of the Gaussian "
+                        "prior alone; needs a train-diff checkpoint")
+    s.add_argument("--sds-weight", type=float, default=1e-3)
     _add_lod_flags(s)
     s.set_defaults(fn=cmd_reconstruct)
 

@@ -399,19 +399,39 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
                     name: str = "recon", res: Optional[int] = None,
                     mesh_format: str = "obj",
                     simplify_faces: Optional[int] = None,
-                    simplify_ratio: Optional[float] = None) -> tuple:
+                    simplify_ratio: Optional[float] = None,
+                    diffusion_prior: bool = False,
+                    sds_weight: float = 1e-3) -> tuple:
     """Latent-optimize against observations, decode, write mesh
     (`mesh_format`: "obj" or binary "ply"; optional QEM LOD budget).
+
+    `diffusion_prior=True` regularizes the optimization with the trained
+    stage-2 denoiser via score distillation instead of the isotropic
+    Gaussian alone (reconstruct.reconstruct_latent_diffusion_prior) —
+    requires a completed `train-diff` stage in the experiment.
     Returns (z, verts, faces)."""
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
-        reconstruct_latent)
+        reconstruct_latent, reconstruct_latent_diffusion_prior)
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
     res = res or cfg.sample.grid_res
     decoder, ad_state = load_ad_state(exp_dir)
-    z, info = reconstruct_latent(decoder, ad_state.params,
-                                 jnp.asarray(obs_xyz), jnp.asarray(obs_sdf),
-                                 cfg.reconstruct)
+    if diffusion_prior:
+        model, dstate, (mu, sigma) = load_diff_state(exp_dir)
+        schedule = DiffusionSchedule.create(cfg.diff.timesteps,
+                                            cfg.diff.beta_start,
+                                            cfg.diff.beta_end)
+        fn = guided_denoise_fn(model.apply, dstate.ema_params, 0.0)
+        z, info = reconstruct_latent_diffusion_prior(
+            decoder, ad_state.params,
+            jnp.asarray(obs_xyz), jnp.asarray(obs_sdf),
+            fn, schedule, mu, sigma, cfg.reconstruct,
+            sds_weight=sds_weight)
+    else:
+        z, info = reconstruct_latent(decoder, ad_state.params,
+                                     jnp.asarray(obs_xyz),
+                                     jnp.asarray(obs_sdf),
+                                     cfg.reconstruct)
     apply_fn = make_fast_apply(decoder, ad_state.params)
     grid = np.asarray(decode_grid(apply_fn, z, res,
                                   chunk=cfg.sample.grid_chunk))

@@ -89,6 +89,14 @@ def test_reconstruct(exp):
     assert (exp / "reconstructions" / "r0.obj").exists()
 
 
+def test_reconstruct_with_diffusion_prior(exp):
+    # needs the diffusion checkpoint test_train_diff_and_sample wrote
+    main(["reconstruct", str(exp), "--analytic", "sphere",
+          "--points", "1024", "--res", "24", "--name", "r0sds",
+          "--diffusion-prior", "--sds-weight", "1e-3"])
+    assert (exp / "reconstructions" / "r0sds.obj").exists()
+
+
 def test_eval(exp):
     main(["eval", str(exp), "--points", "2000"])
     out = json.loads((exp / "evals" / "chamfer.json").read_text())

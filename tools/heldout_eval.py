@@ -83,20 +83,66 @@ def main():
     #      carve the empty regions where the auto-decoder prior likes to
     #      grow furniture.
     held = analytic.make_synthetic_split("chair", 8, seed=4242)
+    # Arms A/B vary the observation budget (round-3 negative result:
+    # free-space carving did not shrink the over-completion tail).
+    # Arms C/D/E vary the PRIOR instead — the other branch of VERDICT
+    # r2 #7: C tightens the isotropic Gaussian 100x (sigma 10 -> 1);
+    # D/E replace it with the trained stage-2 denoiser via score
+    # distillation (reconstruct_latent_diffusion_prior) at two weights.
     budgets = ({} if serve_only else
-               {"A_8k_surf95": (8000, 0.95),
-                "B_16k_surf70": (16000, 0.70)})
+               {"A_8k_surf95": dict(n_obs=8000, surf=0.95),
+                "B_16k_surf70": dict(n_obs=16000, surf=0.70),
+                "C_8k_sigma1": dict(n_obs=8000, surf=0.95, sigma=1.0),
+                "D_8k_sds3e4": dict(n_obs=8000, surf=0.95, sds=3e-4),
+                "E_8k_sds1e3": dict(n_obs=8000, surf=0.95, sds=1e-3)})
+    denoise_fn = sched = mu = sig = None
+    if any("sds" in b for b in budgets.values()):
+        from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+            DenoiserConfig, DiffConfig)
+        from latent_diffusion_models_for_shape_sdfs_tpu.diffusion import (
+            DiffusionSchedule)
+        from latent_diffusion_models_for_shape_sdfs_tpu.models.denoiser \
+            import CondDenoiser
+        from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion \
+            import init_diff_state
+        sys.path.insert(0, str(ROOT / "tools"))
+        import scale_run as _sr
+        dcfg = DiffConfig(denoiser=DenoiserConfig(**_sr.DIFF_DENOISER),
+                          timesteps=1000)
+        dmodel = CondDenoiser(dcfg.denoiser)
+        import jax as _jax
+        tmpl_state = init_diff_state(dcfg, dmodel, _jax.random.PRNGKey(0))
+        dck = StageCheckpointer(OUT, "diff", max_to_keep=1)
+        drest = dck.restore({"params": tmpl_state.params,
+                             "ema": tmpl_state.ema_params,
+                             "mu": jnp.zeros(256), "sigma": jnp.zeros(256)})
+        dck.close()
+        mu, sig = drest["mu"], drest["sigma"]
+        sched = DiffusionSchedule.create(dcfg.timesteps)
+        ema = drest["ema"]
+        denoise_fn = lambda z, t: dmodel.apply({"params": ema}, z, t)
     batteries = {}
-    for bname, (n_obs, surf_frac) in budgets.items():
+    for bname, spec in budgets.items():
+        n_obs, surf_frac = spec["n_obs"], spec["surf"]
         rows = []
         for i, shape in enumerate(held):
             rng = np.random.default_rng(1000 + i)
             ox, od = analytic.sample_sdf_points(shape, n_obs, rng,
                                                surface_frac=surf_frac)
-            z, info = reconstruct_latent(
-                decoder, params, jnp.asarray(ox), jnp.asarray(od),
-                ReconstructConfig(num_steps=1600, clamp_dist=0.1,
-                                  num_inits=4))
+            rcfg = ReconstructConfig(num_steps=1600, clamp_dist=0.1,
+                                     num_inits=4,
+                                     code_reg_sigma=spec.get("sigma", 10.0))
+            if "sds" in spec:
+                from latent_diffusion_models_for_shape_sdfs_tpu. \
+                    reconstruct import reconstruct_latent_diffusion_prior
+                z, info = reconstruct_latent_diffusion_prior(
+                    decoder, params, jnp.asarray(ox), jnp.asarray(od),
+                    denoise_fn, sched, mu, sig, rcfg,
+                    sds_weight=spec["sds"])
+            else:
+                z, info = reconstruct_latent(
+                    decoder, params, jnp.asarray(ox), jnp.asarray(od),
+                    rcfg)
             grid = decode_grid_adaptive(apply_fn, z, 128)
             v, f = extract_mesh(grid)
             if not len(f):
@@ -119,7 +165,8 @@ def main():
                   f"l1={info['l1_last']:.4f}", flush=True)
         ch = [r["chamfer"] for r in rows]
         batteries[bname] = {
-            "n_obs": n_obs, "surface_frac": surf_frac, "rows": rows,
+            "n_obs": n_obs, "surface_frac": surf_frac, "spec": spec,
+            "rows": rows,
             "median": float(np.median(ch)), "mean": float(np.mean(ch)),
             "worst_pred_to_gt": float(max(r.get("pred_to_gt", np.inf)
                                           for r in rows)),

@@ -321,11 +321,19 @@ def write_scale_md(report: dict) -> None:
         he = json.loads(he_path.read_text())
         if "held_out_budgets" in he:
             md.append("- held-out battery (8 unseen chairs, "
-                      "tools/heldout_eval.py), per observation budget:")
+                      "tools/heldout_eval.py), per arm (A/B vary the "
+                      "observation budget; C tightens the Gaussian "
+                      "prior; D/E use the trained denoiser as the "
+                      "prior via score distillation — "
+                      "reconstruct_latent_diffusion_prior):")
             for bname, b in he["held_out_budgets"].items():
+                spec = b.get("spec", {})
+                prior = (f"sds={spec['sds']:g}" if "sds" in spec
+                         else f"sigma={spec.get('sigma', 10.0):g}")
                 md.append(
                     f"  - {bname} ({b['n_obs']} obs, "
-                    f"{int(100 * b['surface_frac'])}% surface-biased): "
+                    f"{int(100 * b['surface_frac'])}% surface-biased, "
+                    f"{prior}): "
                     f"median Chamfer {b['median']:.2e}, worst pred->gt "
                     f"{b['worst_pred_to_gt']:.2e}, median gt->pred "
                     f"{b['median_gt_to_pred']:.2e}")
