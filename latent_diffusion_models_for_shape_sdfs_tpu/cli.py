@@ -97,6 +97,18 @@ def cmd_interpolate(args):
           f"{pathlib.Path(args.exp_dir) / 'interpolations'}")
 
 
+def cmd_render(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_render)
+    paths = run_render(args.exp_dir, scene=args.scene,
+                       latent_file=args.latent, name=args.name,
+                       size=args.size, frames=args.frames,
+                       steps=args.march_steps)
+    print(f"wrote {len(paths)} render(s): "
+          f"{', '.join(p.name for p in paths)} under "
+          f"{pathlib.Path(args.exp_dir) / 'renders'}")
+
+
 def cmd_reconstruct(args):
     import numpy as np
     from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
@@ -378,6 +390,20 @@ def main(argv=None):
                    help="mesh output format (ply = binary little-endian)")
     _add_lod_flags(s)
     s.set_defaults(fn=cmd_interpolate)
+
+    s = sub.add_parser("render", help="sphere-traced PNG preview of a "
+                       "trained latent, straight off the decoder (no "
+                       "grid decode or meshing)")
+    s.add_argument("exp_dir")
+    s.add_argument("--scene", type=int, default=0)
+    s.add_argument("--latent", help=".npy latent ([L] or [k,L]: row 0) "
+                                    "overriding --scene")
+    s.add_argument("--name", default="render")
+    s.add_argument("--size", type=int, default=512)
+    s.add_argument("--frames", type=int, default=1,
+                   help=">1 writes a turntable sequence")
+    s.add_argument("--march-steps", type=int, default=96)
+    s.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("eval", help="chamfer-L2 + F-score@tau (+ normal "
                        "consistency for analytic GT) vs ground truth")

@@ -226,4 +226,5 @@ def experiment_layout(exp_dir: str | pathlib.Path) -> dict:
         "samples": p / "samples",
         "evals": p / "evals",
         "interpolations": p / "interpolations",
+        "renders": p / "renders",
     }

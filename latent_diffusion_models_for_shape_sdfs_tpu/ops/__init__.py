@@ -16,3 +16,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: 
     sparse2_fill2,
     hier3_int8_scale,
 )
+from latent_diffusion_models_for_shape_sdfs_tpu.ops.render import (  # noqa: F401
+    render_sdf,
+    render_turntable,
+)

@@ -1,0 +1,161 @@
+"""On-device sphere-traced rendering of decoder SDFs.
+
+The lineage inspects shapes by decoding a grid and meshing; for quick
+qualitative previews this renders the neural SDF *directly* — no grid,
+no mesh, no host geometry: one jitted program sphere-traces every pixel
+ray against `apply_fn` (the standard ops ApplyFn contract,
+`(z [L], xyz [N,3]) -> sdf [N]`), shades hits Lambertian, and returns
+an image. All rays march in lockstep (fixed `fori_loop` trip count,
+masked updates — no data-dependent control flow, so XLA compiles one
+static program and the MXU sees [N,3] eval batches per step).
+
+Lineage parity note: the reference repo (a title-only mount; see
+SURVEY.md §0) inspects shapes only through meshes; direct SDF
+sphere-tracing is a beyond-lineage preview path (CLI `render`).
+
+Two SDF caveats shape the marcher:
+- training clamps |sdf| at delta=0.1, so a step can never exceed ~0.1
+  world units: rays start on the unit-sphere bound (shapes are
+  normalized into it) rather than at the camera, and the step count
+  default (96) covers the worst diameter at the clamp ceiling;
+- the learned field is only approximately metric, so steps are scaled
+  by `step_scale` (0.9) and hits accept |sdf| < eps.
+
+Normals come from central differences (6 extra evals per pixel, one
+batched program) — `jax.grad` through the fused Pallas eval kernel is
+not defined, and finite differences match the marching-tetrahedra
+surface definition anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+
+
+def camera_rays(width: int, height: int, eye, target, fov_deg: float):
+    """Perspective ray grid: returns (origins [H*W,3], dirs [H*W,3])."""
+    eye = jnp.asarray(eye, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    fwd = _normalize(target - eye)
+    world_up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    # nudge if fwd is (anti)parallel to up
+    world_up = jnp.where(jnp.abs(jnp.dot(fwd, world_up)) > 0.999,
+                         jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                         world_up)
+    right = _normalize(jnp.cross(fwd, world_up))
+    up = jnp.cross(right, fwd)
+    aspect = width / height
+    half_h = jnp.tan(jnp.deg2rad(fov_deg) * 0.5)
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(half_h, -half_h, height),
+        jnp.linspace(-half_h * aspect, half_h * aspect, width),
+        indexing="ij")
+    dirs = _normalize(fwd[None, None]
+                      + xs[..., None] * right[None, None]
+                      + ys[..., None] * up[None, None])
+    origins = jnp.broadcast_to(eye, dirs.shape)
+    return origins.reshape(-1, 3), dirs.reshape(-1, 3)
+
+
+def _ray_sphere_entry(o, d, radius: float):
+    """Distance along each ray to the bounding sphere (inf on miss)."""
+    b = jnp.sum(o * d, axis=-1)
+    c = jnp.sum(o * o, axis=-1) - radius * radius
+    disc = b * b - c
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    return jnp.where(disc >= 0.0, jnp.maximum(t, 0.0), jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "width", "height", "steps"))
+def _render_program(apply_fn: Callable, z: jnp.ndarray,
+                    width: int, height: int, steps: int,
+                    eye: jnp.ndarray, target: jnp.ndarray,
+                    fov_deg: float, eps: float, step_scale: float,
+                    bound: float, light: jnp.ndarray):
+    o, d = camera_rays(width, height, eye, target, fov_deg)
+    n = o.shape[0]
+    t0 = _ray_sphere_entry(o, d, bound)
+    alive0 = jnp.isfinite(t0)
+    t0 = jnp.where(alive0, t0, 0.0)
+    t_exit = t0 + 2.0 * bound + 0.2     # leave the bound -> miss
+
+    def body(_, carry):
+        t, hit, alive = carry
+        p = o + t[:, None] * d
+        s = apply_fn(z, p).astype(jnp.float32)
+        hit_now = alive & (jnp.abs(s) < eps)
+        hit = hit | hit_now
+        step = jnp.maximum(s * step_scale, 1e-4)
+        t_new = jnp.where(alive & ~hit_now, t + step, t)
+        alive = alive & ~hit_now & (t_new < t_exit)
+        return t_new, hit, alive
+
+    t, hit, _ = jax.lax.fori_loop(
+        0, steps, body, (t0, jnp.zeros(n, bool), alive0))
+    p = o + t[:, None] * d
+
+    # central-difference normals (batched: 6 evals in one program each)
+    h = 2e-3
+    grads = []
+    for ax in range(3):
+        e = jnp.zeros(3, jnp.float32).at[ax].set(h)
+        sp = apply_fn(z, p + e).astype(jnp.float32)
+        sm = apply_fn(z, p - e).astype(jnp.float32)
+        grads.append(sp - sm)
+    nrm = _normalize(jnp.stack(grads, axis=-1))
+
+    view = -d
+    lam = jnp.maximum(jnp.sum(nrm * light, axis=-1), 0.0)
+    head = jnp.maximum(jnp.sum(nrm * view, axis=-1), 0.0)
+    shade = 0.12 + 0.62 * lam + 0.26 * head
+    base = jnp.asarray([0.78, 0.81, 0.86], jnp.float32)
+    fg = shade[:, None] * base[None, :]
+    # background: vertical gradient
+    yy = jnp.linspace(1.0, 0.0, height)[:, None]
+    bg = (0.96 - 0.18 * yy)[..., None] * jnp.ones((height, width, 3))
+    img = jnp.where(hit[:, None], fg, bg.reshape(-1, 3))
+    return img.reshape(height, width, 3), hit.reshape(height, width)
+
+
+def render_sdf(apply_fn: Callable, z,
+               width: int = 512, height: int = 512,
+               eye=(1.6, 1.2, 1.6), target=(0.0, 0.0, 0.0),
+               fov_deg: float = 40.0, steps: int = 96,
+               eps: float = 2e-3, step_scale: float = 0.9,
+               bound: float = 1.05,
+               light=(0.5, 0.75, 0.43)) -> Tuple[np.ndarray, np.ndarray]:
+    """Sphere-trace `apply_fn` at latent `z` into an image.
+
+    Returns (rgb uint8 [H,W,3], hit-mask bool [H,W]). One compiled
+    device program for the march plus one for shading; ~0.5 s for
+    512x512 with the 8x512 decoder on a v5e.
+    """
+    img, hit = _render_program(
+        apply_fn, jnp.asarray(z), width, height, steps,
+        jnp.asarray(eye, jnp.float32), jnp.asarray(target, jnp.float32),
+        float(fov_deg), float(eps), float(step_scale), float(bound),
+        _normalize(jnp.asarray(light, jnp.float32)))
+    rgb = np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5,
+                     ).astype(np.uint8)
+    return rgb, np.asarray(hit)
+
+
+def render_turntable(apply_fn: Callable, z, frames: int = 4,
+                     radius: float = 2.3, elev: float = 0.6,
+                     **kw) -> list:
+    """`frames` views around the y axis -> list of (rgb, hit)."""
+    out = []
+    for i in range(frames):
+        a = 2.0 * np.pi * i / frames
+        eye = (radius * np.cos(a), elev, radius * np.sin(a))
+        out.append(render_sdf(apply_fn, z, eye=eye, **kw))
+    return out

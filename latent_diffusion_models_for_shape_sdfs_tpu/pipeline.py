@@ -392,6 +392,49 @@ def run_interpolate(exp_dir: str, scene_a: int, scene_b: int,
         simplify_ratio=simplify_ratio)
 
 
+# ----------------------------------------------------------- render
+
+
+def run_render(exp_dir: str, scene: int = 0,
+               latent_file: Optional[str] = None,
+               name: str = "render", size: int = 512,
+               frames: int = 1, steps: int = 96) -> list:
+    """Sphere-trace a trained latent straight off the decoder
+    (ops.render) — no grid decode, no meshing — and write PNG previews
+    under <exp>/renders/. `latent_file` (.npy, [L] or [k,L]: row 0)
+    overrides `scene`. `frames` > 1 writes a turntable. Returns the
+    list of written paths."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.render import (
+        render_sdf, render_turntable)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.image import (
+        write_png)
+    lay = experiment_layout(exp_dir)
+    decoder, ad_state = load_ad_state(exp_dir)
+    if latent_file is not None:
+        z = np.asarray(np.load(latent_file), np.float32)
+        z = z[0] if z.ndim == 2 else z
+    else:
+        n_codes = int(ad_state.codes.shape[0])
+        if not 0 <= scene < n_codes:
+            raise ValueError(f"scene id {scene} out of range [0, {n_codes})")
+        z = ad_state.codes[scene]
+    apply_fn = make_fast_apply(decoder, ad_state.params)
+    lay["renders"].mkdir(parents=True, exist_ok=True)
+    paths = []
+    if frames <= 1:
+        rgb, _ = render_sdf(apply_fn, z, width=size, height=size,
+                            steps=steps)
+        paths.append(lay["renders"] / f"{name}.png")
+        write_png(paths[-1], rgb)
+    else:
+        for i, (rgb, _) in enumerate(render_turntable(
+                apply_fn, z, frames=frames, width=size, height=size,
+                steps=steps)):
+            paths.append(lay["renders"] / f"{name}_{i:03d}.png")
+            write_png(paths[-1], rgb)
+    return paths
+
+
 # ----------------------------------------------------------- reconstruct
 
 

@@ -97,6 +97,18 @@ def test_reconstruct_with_diffusion_prior(exp):
     assert (exp / "reconstructions" / "r0sds.obj").exists()
 
 
+def test_render(exp):
+    main(["render", str(exp), "--scene", "0", "--size", "48",
+          "--march-steps", "48"])
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.image import (
+        read_png)
+    img = read_png(exp / "renders" / "render.png")
+    assert img.shape == (48, 48, 3)
+    # trained scene 0 is a sphere-family shape: something must be hit
+    # (hit pixels shade darker than the >=0.78-gray background)
+    assert (img.astype(int).sum(-1) < 550).sum() > 40
+
+
 def test_eval(exp):
     main(["eval", str(exp), "--points", "2000"])
     out = json.loads((exp / "evals" / "chamfer.json").read_text())
