@@ -57,6 +57,14 @@ def cmd_train_diff(args):
     print("stage-2 training complete")
 
 
+def cmd_train_encoder(args):
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        run_train_encoder)
+    run_train_encoder(args.exp_dir, resume=args.resume,
+                      tensorboard=args.tensorboard)
+    print("encoder training complete")
+
+
 def _load_obs_rows(path: str):
     """.npz with pos/neg [N,4] rows (native preprocess format) or a single
     [N,4] array -> (xyz [N,3], sdf [N])."""
@@ -132,7 +140,9 @@ def cmd_reconstruct(args):
                               simplify_faces=args.simplify_faces,
                               simplify_ratio=args.simplify,
                               diffusion_prior=args.diffusion_prior,
-                              sds_weight=args.sds_weight)
+                              sds_weight=args.sds_weight,
+                              encoder=args.encoder,
+                              refine_steps=args.refine_steps)
     print(f"reconstructed mesh: {len(v)} verts, {len(f)} faces -> "
           f"{pathlib.Path(args.exp_dir) / 'reconstructions' / args.name}"
           f".{args.format}")
@@ -344,6 +354,14 @@ def main(argv=None):
                    help="mirror metrics as TB scalars (<exp>/logs/tb)")
     s.set_defaults(fn=cmd_train_diff)
 
+    s = sub.add_parser("train-encoder", help="amortized latent encoder "
+                       "(one-shot reconstruction; needs train-ad)")
+    s.add_argument("exp_dir")
+    s.add_argument("--resume", action="store_true")
+    s.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics as TB scalars (<exp>/logs/tb)")
+    s.set_defaults(fn=cmd_train_encoder)
+
     s = sub.add_parser("sample", help="sample latents -> meshes")
     s.add_argument("exp_dir")
     s.add_argument("--num", type=int, default=None)
@@ -374,6 +392,13 @@ def main(argv=None):
                         "(score distillation) instead of the Gaussian "
                         "prior alone; needs a train-diff checkpoint")
     s.add_argument("--sds-weight", type=float, default=1e-3)
+    s.add_argument("--encoder", action="store_true",
+                   help="warm-start from the amortized encoder's one-shot"
+                        " latent prediction; needs a train-encoder "
+                        "checkpoint")
+    s.add_argument("--refine-steps", type=int, default=None,
+                   help="latent-opt steps after the encoder prediction "
+                        "(0 = pure one-shot; default: full budget)")
     _add_lod_flags(s)
     s.set_defaults(fn=cmd_reconstruct)
 

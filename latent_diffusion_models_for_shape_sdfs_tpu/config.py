@@ -79,6 +79,34 @@ class DenoiserConfig:
 
 
 @dataclass(frozen=True)
+class EncoderConfig:
+    """Amortized latent encoder network (models/encoder.py)."""
+
+    latent_size: int = 256
+    point_widths: tuple = (64, 128, 256, 512)   # per-point MLP widths
+    head_widths: tuple = (512, 512)             # post-pool MLP widths
+
+
+@dataclass(frozen=True)
+class EncConfig:
+    """Amortized-encoder training (train/encoder.py): regress the frozen
+    stage-1 latent table from per-scene observation subsets."""
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    n_obs: int = 1024                # observation points fed per scene
+    obs_bank_points: int = 0         # per-scene stored bank rows the scan
+                                     # subsamples from (0 = auto: 4x n_obs)
+    batch_scenes: int = 64
+    num_steps: int = 20000
+    lr: float = 3e-4
+    lr_schedule: str = "cosine"      # "constant" | "cosine"
+    warmup_steps: int = 500
+    scan_chunk: int = 100            # steps fused per on-device lax.scan
+    seed: int = 0
+    snapshot_every: int = 5000
+
+
+@dataclass(frozen=True)
 class AdConfig:
     """Stage-1 auto-decoder training (SEMANTICS.md sections 1-5)."""
 
@@ -162,10 +190,12 @@ class ReconstructConfig:
 _DATACLASS_FIELDS = {
     ("AdConfig", "decoder"): DecoderConfig,
     ("DiffConfig", "denoiser"): DenoiserConfig,
+    ("EncConfig", "encoder"): EncoderConfig,
     ("ExperimentConfig", "ad"): AdConfig,
     ("ExperimentConfig", "diff"): DiffConfig,
     ("ExperimentConfig", "sample"): SampleConfig,
     ("ExperimentConfig", "reconstruct"): ReconstructConfig,
+    ("ExperimentConfig", "encoder"): EncConfig,
 }
 
 
@@ -179,6 +209,7 @@ class ExperimentConfig:
     diff: DiffConfig = field(default_factory=DiffConfig)
     sample: SampleConfig = field(default_factory=SampleConfig)
     reconstruct: ReconstructConfig = field(default_factory=ReconstructConfig)
+    encoder: EncConfig = field(default_factory=EncConfig)
 
     def to_json(self) -> str:
         return json.dumps(_asdict(self), indent=2)

@@ -13,3 +13,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.models.denoiser import (  # noqa
     PartialSdfEncoder,
     make_denoiser,
 )
+from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder import (  # noqa: F401
+    LatentEncoder,
+    encode_latent,
+)

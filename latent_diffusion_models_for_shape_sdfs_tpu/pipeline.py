@@ -191,6 +191,85 @@ def load_diff_state(exp_dir: str) -> tuple:
             (restored["mu"], restored["sigma"]))
 
 
+# ------------------------------------------------- amortized encoder
+
+
+def _enc_bank(cfg: ExperimentConfig, dataset: SdfDataset) -> tuple:
+    """Per-scene observation bank [S,P,3]/[S,P] for encoder training
+    (same construction as the partial-SDF conditioning bank)."""
+    ec = cfg.encoder
+    bank = ec.obs_bank_points or 4 * ec.n_obs
+    rng = np.random.default_rng(ec.seed)
+    xs, ds_ = [], []
+    for i in range(len(dataset)):
+        rows = dataset.sample_scene(i, bank, rng)
+        xs.append(rows[:, :3])
+        ds_.append(rows[:, 3])
+    return np.stack(xs), np.stack(ds_)
+
+
+def run_train_encoder(exp_dir: str, resume: bool = False,
+                      dataset: Optional[SdfDataset] = None,
+                      tensorboard: bool = False) -> tuple:
+    """Train the amortized latent encoder against the frozen stage-1
+    table (train/encoder.py). Requires a completed train-ad stage."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.encoder import (
+        EncTrainState, init_enc_state, train_encoder)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder import (
+        LatentEncoder)
+    cfg = ExperimentConfig.load(exp_dir)
+    lay = experiment_layout(exp_dir)
+    _, ad_state = load_ad_state(exp_dir)
+    if dataset is None:
+        dataset = build_dataset(cfg)
+    obs_xyz, obs_sdf = _enc_bank(cfg, dataset)
+
+    model = LatentEncoder(cfg.encoder.encoder)
+    ckpt = StageCheckpointer(exp_dir, "encoder")
+    logger = MetricLogger(lay["logs"] / "train_enc.jsonl", echo=True,
+                          tensorboard=(lay["logs"] / "tb" / "enc")
+                          if tensorboard else None)
+    state = init_enc_state(cfg.encoder, model,
+                           jax.random.PRNGKey(cfg.encoder.seed))
+    L = cfg.encoder.encoder.latent_size
+    if resume and ckpt.latest_step() is not None:
+        tmpl = {"state": state._asdict(), "mu": jnp.zeros((L,)),
+                "sigma": jnp.zeros((L,))}
+        restored = ckpt.restore(tmpl)
+        state = EncTrainState(**restored["state"])
+        logger.log("resume", stage="encoder", step=int(state.step))
+
+    def save(step, st, mu, sigma):
+        ckpt.save(step, {"state": st._asdict(), "mu": mu, "sigma": sigma})
+
+    model, state, (mu, sigma), loss = train_encoder(
+        cfg.encoder, ad_state.codes, obs_xyz, obs_sdf, logger=logger,
+        state=state, checkpoint_fn=save)
+    save(int(state.step), state, mu, sigma)
+    ckpt.close()
+    logger.close()
+    return model, state, (mu, sigma)
+
+
+def load_encoder_state(exp_dir: str) -> tuple:
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.encoder import (
+        EncTrainState, init_enc_state)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder import (
+        LatentEncoder)
+    cfg = ExperimentConfig.load(exp_dir)
+    model = LatentEncoder(cfg.encoder.encoder)
+    ckpt = StageCheckpointer(exp_dir, "encoder")
+    tmpl_state = init_enc_state(cfg.encoder, model,
+                                jax.random.PRNGKey(cfg.encoder.seed))
+    L = cfg.encoder.encoder.latent_size
+    tmpl = {"state": tmpl_state._asdict(), "mu": jnp.zeros((L,)),
+            "sigma": jnp.zeros((L,))}
+    restored = ckpt.restore(tmpl)
+    ckpt.close()
+    return (model, EncTrainState(**restored["state"]),
+            (restored["mu"], restored["sigma"]))
+
+
 # --------------------------------------------------------------- sampling
 
 
@@ -444,7 +523,9 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
                     simplify_faces: Optional[int] = None,
                     simplify_ratio: Optional[float] = None,
                     diffusion_prior: bool = False,
-                    sds_weight: float = 1e-3) -> tuple:
+                    sds_weight: float = 1e-3,
+                    encoder: bool = False,
+                    refine_steps: Optional[int] = None) -> tuple:
     """Latent-optimize against observations, decode, write mesh
     (`mesh_format`: "obj" or binary "ply"; optional QEM LOD budget).
 
@@ -452,14 +533,41 @@ def run_reconstruct(exp_dir: str, obs_xyz: np.ndarray, obs_sdf: np.ndarray,
     stage-2 denoiser via score distillation instead of the isotropic
     Gaussian alone (reconstruct.reconstruct_latent_diffusion_prior) —
     requires a completed `train-diff` stage in the experiment.
+
+    `encoder=True` replaces the cold start with the amortized encoder
+    (requires a completed `train-encoder` stage): one forward pass
+    predicts the latent, then `refine_steps` latent-opt steps polish it
+    (0 = pure one-shot; None = the full cfg.reconstruct.num_steps budget,
+    warm-started). Mutually exclusive with diffusion_prior.
     Returns (z, verts, faces)."""
     from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
         reconstruct_latent, reconstruct_latent_diffusion_prior)
+    import dataclasses as _dc
     cfg = ExperimentConfig.load(exp_dir)
     lay = experiment_layout(exp_dir)
     res = res or cfg.sample.grid_res
     decoder, ad_state = load_ad_state(exp_dir)
-    if diffusion_prior:
+    if encoder and diffusion_prior:
+        raise ValueError("--encoder and --diffusion-prior are mutually "
+                         "exclusive reconstruction modes")
+    if encoder:
+        from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder \
+            import encode_latent
+        enc_model, enc_state, (emu, esig) = load_encoder_state(exp_dir)
+        z = encode_latent(enc_model, enc_state.params,
+                          jnp.asarray(obs_xyz, jnp.float32),
+                          jnp.asarray(obs_sdf, jnp.float32), emu, esig)
+        if refine_steps is None or refine_steps > 0:
+            rcfg = cfg.reconstruct
+            if refine_steps is not None:
+                rcfg = _dc.replace(
+                    rcfg, num_steps=refine_steps,
+                    lr_decay_at=max(refine_steps // 2, 1))
+            z, info = reconstruct_latent(decoder, ad_state.params,
+                                         jnp.asarray(obs_xyz),
+                                         jnp.asarray(obs_sdf),
+                                         rcfg, z_init=z)
+    elif diffusion_prior:
         model, dstate, (mu, sigma) = load_diff_state(exp_dir)
         schedule = DiffusionSchedule.create(cfg.diff.timesteps,
                                             cfg.diff.beta_start,

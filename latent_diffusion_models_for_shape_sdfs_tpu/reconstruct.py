@@ -28,18 +28,27 @@ from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
 def reconstruct_latent(decoder: SdfDecoder, params: dict,
                        obs_xyz: jnp.ndarray, obs_sdf: jnp.ndarray,
                        cfg: ReconstructConfig = ReconstructConfig(),
-                       key: Optional[jax.Array] = None) -> tuple:
+                       key: Optional[jax.Array] = None,
+                       z_init: Optional[jnp.ndarray] = None) -> tuple:
     """Optimize one latent against observations. Returns (z [L], info).
 
     cfg.num_inits > 1 runs that many random restarts concurrently (Adam on
     [k, L] is k independent Adams — one compiled program, canonical
     lineage practice of re-running with several seeds) and returns the
     restart with the lowest final data term.
+
+    `z_init` [L] warm-starts the optimization (e.g. an amortized-encoder
+    prediction, models/encoder.py): restart 0 begins exactly at z_init,
+    restarts 1..k-1 at z_init + the usual init_std jitter. Default None
+    keeps the lineage cold start (N(0, init_std^2)).
     """
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     L = decoder.cfg.latent_size
     k = max(1, cfg.num_inits)
     z0 = cfg.init_std * jax.random.normal(key, (k, L), jnp.float32)
+    if z_init is not None:
+        base = jnp.asarray(z_init, jnp.float32)
+        z0 = base[None, :] + z0.at[0].set(0.0)
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     n = obs_xyz.shape[0]
     prior_w = 1.0 / (cfg.code_reg_sigma ** 2)

@@ -8,3 +8,7 @@ from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion import (  # noqa
     train_diffusion,
     normalize_codes,
 )
+from latent_diffusion_models_for_shape_sdfs_tpu.train.encoder import (  # noqa: F401
+    EncTrainState,
+    train_encoder,
+)

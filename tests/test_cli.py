@@ -36,6 +36,16 @@ TINY_OVERRIDES = [
     "--set", "sample.grid_res=24",
     "--set", "sample.ddim_steps=10",
     "--set", "reconstruct.num_steps=50",
+    "--set", "encoder.encoder.latent_size=8",
+    "--set", "encoder.encoder.point_widths=[16,32]",
+    "--set", "encoder.encoder.head_widths=[32]",
+    "--set", "encoder.n_obs=64",
+    "--set", "encoder.obs_bank_points=256",
+    "--set", "encoder.batch_scenes=2",
+    "--set", "encoder.num_steps=80",
+    "--set", "encoder.scan_chunk=40",
+    "--set", "encoder.lr_schedule=constant",
+    "--set", "encoder.snapshot_every=40",
 ]
 
 
@@ -87,6 +97,23 @@ def test_reconstruct(exp):
     main(["reconstruct", str(exp), "--analytic", "sphere",
           "--points", "1024", "--res", "24", "--name", "r0"])
     assert (exp / "reconstructions" / "r0.obj").exists()
+
+
+def test_train_encoder_and_amortized_reconstruct(exp):
+    main(["train-encoder", str(exp)])
+    assert any((exp / "checkpoints" / "encoder").iterdir())
+    log = (exp / "logs" / "train_enc.jsonl").read_text().splitlines()
+    assert json.loads(log[-1])["event"] == "enc_train"
+    # encoder-warm-started reconstruction with a short refinement budget
+    main(["reconstruct", str(exp), "--analytic", "sphere",
+          "--points", "1024", "--res", "24", "--name", "renc",
+          "--encoder", "--refine-steps", "20"])
+    assert (exp / "reconstructions" / "renc.obj").exists()
+    # pure one-shot (refine 0): a single forward pass to a mesh
+    main(["reconstruct", str(exp), "--analytic", "sphere",
+          "--points", "1024", "--res", "24", "--name", "renc0",
+          "--encoder", "--refine-steps", "0"])
+    assert (exp / "reconstructions" / "renc0.obj").exists()
 
 
 def test_reconstruct_with_diffusion_prior(exp):

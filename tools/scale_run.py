@@ -325,10 +325,14 @@ def write_scale_md(report: dict) -> None:
                       "observation budget; C tightens the Gaussian "
                       "prior; D/E use the trained denoiser as the "
                       "prior via score distillation — "
-                      "reconstruct_latent_diffusion_prior):")
+                      "reconstruct_latent_diffusion_prior; F/G use the "
+                      "amortized encoder — tools/encoder_run.py, "
+                      "one-shot and as latent-opt warm start):")
             for bname, b in he["held_out_budgets"].items():
                 spec = b.get("spec", {})
                 prior = (f"sds={spec['sds']:g}" if "sds" in spec
+                         else f"encoder {spec['encoder']}"
+                         if "encoder" in spec
                          else f"sigma={spec.get('sigma', 10.0):g}")
                 md.append(
                     f"  - {bname} ({b['n_obs']} obs, "
