@@ -440,6 +440,38 @@ def main():
         f"{B / dt_p10:.1f} samples/s (loop avgs "
         f"{[round(a * 1e3, 1) for a in loop_avgs]})")
 
+    # ---------------- amortized one-shot reconstruction (encoder fwd)
+    # latency of models/encoder.LatentEncoder on a full observation set —
+    # the one-shot alternative to the ~1600-step latent optimization
+    # (weights random: the forward cost is weight-independent)
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        EncoderConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder import (
+        LatentEncoder)
+    enc = LatentEncoder(EncoderConfig())
+    eparams = enc.init_params(jax.random.PRNGKey(7))
+    NOBS = 8192
+    enc_fwd = jax.jit(lambda ox, od: enc.apply({"params": eparams},
+                                               ox, od))
+    eobs = jax.block_until_ready(
+        (jax.random.uniform(jax.random.PRNGKey(8), (10, 1, NOBS, 3)),
+         jax.random.normal(jax.random.PRNGKey(9), (10, 1, NOBS)) * 0.1))
+    out = enc_fwd(eobs[0][0], eobs[1][0])
+    jax.block_until_ready(out)
+    loop_avgs = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(3):
+            out = enc_fwd(eobs[0][1 + rep * 3 + i],
+                          eobs[1][1 + rep * 3 + i])
+        jax.block_until_ready(out)
+        loop_avgs.append((time.perf_counter() - t0) / 3)
+    dt_e = sorted(loop_avgs)[1]
+    details["encoder_oneshot_ms"] = dt_e * 1e3
+    details["encoder_oneshot_obs"] = NOBS
+    log(f"amortized one-shot encode ({NOBS} obs): {dt_e * 1e3:.2f} ms "
+        f"(vs ~1600-step latent opt)")
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

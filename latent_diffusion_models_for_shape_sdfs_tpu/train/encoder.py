@@ -92,25 +92,30 @@ def train_encoder(cfg: EncConfig, codes: jnp.ndarray,
     S, P = bank.shape[0], bank.shape[1]
     B, n = cfg.batch_scenes, cfg.n_obs
 
-    def loss_fn(params, ids, pts):
-        z_hat = model.apply({"params": params},
-                            pts[..., :3], pts[..., 3])
-        tgt = jnp.take(codes_n, ids, axis=0)
-        return jnp.mean(jnp.square(z_hat - tgt))
-
-    def one_step(st: EncTrainState, key: jax.Array) -> tuple:
-        k1, k2 = jax.random.split(key)
-        ids = jax.random.randint(k1, (B,), 0, S)
-        pidx = jax.random.randint(k2, (B, n), 0, P)
-        pts = jnp.take_along_axis(jnp.take(bank, ids, axis=0),
-                                  pidx[..., None], axis=1)  # [B,n,4]
-        loss, grads = jax.value_and_grad(loss_fn)(st.params, ids, pts)
-        updates, opt_state = tx.update(grads, st.opt_state, st.params)
-        params = optax.apply_updates(st.params, updates)
-        return EncTrainState(params, opt_state, st.step + 1), loss
-
+    # bank and codes_n enter the jitted scan as ARGUMENTS, never as
+    # closure constants: captured constants are embedded in the compiled
+    # program, and at config-3 scale the bank is ~400 MB — it overflowed
+    # the relay's remote-compile request (HTTP 413) when closed over.
     @jax.jit
-    def scan_steps(st: EncTrainState, keys: jnp.ndarray) -> tuple:
+    def scan_steps(st: EncTrainState, keys: jnp.ndarray,
+                   bank: jnp.ndarray, codes_n: jnp.ndarray) -> tuple:
+        def loss_fn(params, ids, pts):
+            z_hat = model.apply({"params": params},
+                                pts[..., :3], pts[..., 3])
+            tgt = jnp.take(codes_n, ids, axis=0)
+            return jnp.mean(jnp.square(z_hat - tgt))
+
+        def one_step(st: EncTrainState, key: jax.Array) -> tuple:
+            k1, k2 = jax.random.split(key)
+            ids = jax.random.randint(k1, (B,), 0, S)
+            pidx = jax.random.randint(k2, (B, n), 0, P)
+            pts = jnp.take_along_axis(jnp.take(bank, ids, axis=0),
+                                      pidx[..., None], axis=1)  # [B,n,4]
+            loss, grads = jax.value_and_grad(loss_fn)(st.params, ids, pts)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return EncTrainState(params, opt_state, st.step + 1), loss
+
         return jax.lax.scan(one_step, st, keys)
 
     steps_done = int(state.step)
@@ -120,7 +125,7 @@ def train_encoder(cfg: EncConfig, codes: jnp.ndarray,
         chunk = min(cfg.scan_chunk, cfg.num_steps - steps_done)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(steps_done, steps_done + chunk))
-        state, losses = scan_steps(state, keys)
+        state, losses = scan_steps(state, keys, bank, codes_n)
         steps_done += chunk
         loss = float(losses[-1])
         if logger is not None:

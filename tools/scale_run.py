@@ -349,6 +349,34 @@ def write_scale_md(report: dict) -> None:
                 "geometry sits where BOTH budgets sample sparsely, and "
                 "the latent prior, not observation coverage, is the "
                 "binding constraint at this table size")
+            hb = he["held_out_budgets"]
+            if "C_8k_sigma1" in hb and "E_8k_sds1e3" in hb:
+                md.append(
+                    "  - C/D/E verdict: swapping the prior does not fix "
+                    "the tail either — C (Gaussian 100x tighter) is "
+                    "within noise of A, and the score-distillation arms "
+                    "trade data fit for prior pull (l1 2-6x higher), "
+                    "WORSENING worst pred->gt (D 5.5e-3, E 1.2e-2 vs A "
+                    "4.3e-3). The tail chairs' extra geometry is "
+                    "data-consistent under every tested prior: it sits "
+                    "where observations are sparse AND the decoder's "
+                    "learned shape space genuinely contains furniture "
+                    "there — a capacity/coverage property of the "
+                    "auto-decoder, not an optimization artifact")
+            if "G_enc_refine" in hb:
+                f_arm, g_arm = hb.get("F_enc_oneshot"), hb["G_enc_refine"]
+                er = he.get("encoder_run", {})
+                md.append(
+                    "  - F/G verdict: the amortized encoder is a "
+                    "practical speed/quality trade — one-shot (F) "
+                    f"reaches median {f_arm['median']:.2e} in "
+                    f"{er.get('oneshot_ms_median', float('nan')):.1f} ms "
+                    "(~1000x faster than the 1600-step optimization), "
+                    "and encoder-init + refine (G, single init) lands at "
+                    f"median {g_arm['median']:.2e} / worst pred->gt "
+                    f"{g_arm['worst_pred_to_gt']:.2e} vs A's 4-restart "
+                    f"{hb['A_8k_surf95']['median']:.2e} / "
+                    f"{hb['A_8k_surf95']['worst_pred_to_gt']:.2e}")
         elif "held_out" in he:
             md.append(f"- held-out battery (8 unseen chairs): median "
                       f"Chamfer {he['held_out']['median']:.2e}")
