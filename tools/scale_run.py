@@ -433,6 +433,32 @@ def write_scale_md(report: dict) -> None:
             "(COV 0.125, archived in diff_sweep_protocol_v1.json) — "
             "whitening amplifies the code table's noise directions.",
         ]
+    if "dpm_ab" in report:
+        ab = report["dpm_ab"]
+        md += [
+            "",
+            f"## DPM-Solver++(2M) vs DDIM-50 (tools/dpm_ab_eval.py: same "
+            f"z_T, same decoded refs, {ab['gen']} samples at "
+            f"{ab['res']}^3)",
+            "",
+            "| sampler | 1-NNA | COV | MMD-CD | 1-NNA-EMD | empty | "
+            "sample s (incl. jit compile) |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, gm in ab["results"].items():
+            md.append(
+                f"| {name} | {gm['one_nna']:.2f} | {gm['coverage']:.2f} "
+                f"| {gm['mmd_chamfer']:.2e} | "
+                f"{gm.get('one_nna_emd', float('nan')):.2f} | "
+                f"{gm['empty']} | {gm['sample_seconds']:.1f} |")
+        md += [
+            "",
+            "Verdict: 10 DPM-Solver++(2M) denoiser calls sit in the same "
+            "fidelity class as 50 DDIM steps on every metric (the two "
+            "1-NNA values straddle the 0.5 ideal) — `--set "
+            "sample.sampler=dpm` buys a 5x cheaper sampling loop at this "
+            "scale with no measured distributional cost.",
+        ]
     md += [
         "",
         "Chamfer is squared-distance (DeepSDF convention); the 128^3 grid "
