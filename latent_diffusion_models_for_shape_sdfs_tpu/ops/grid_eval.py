@@ -159,8 +159,15 @@ def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
     decode) must divide points_per_group by the batch size — vmap scales
     every group activation by the batch."""
     K = block_flat.shape[0]
-    group = max(1, min(K, points_per_group // block ** 3))
-    ngroups = math.ceil(K / group)
+    # Balance the groups instead of filling to points_per_group: with
+    # e.g. K=136448 (512^3 bench caps) a greedy group of 131072 makes
+    # TWO groups where the second is 96% edge-padding — the fine eval
+    # then costs 2.1M applies for 1.09M useful points. ceil-dividing K
+    # over the minimal group count keeps every group the same size and
+    # the padding below one group's rounding.
+    max_group = max(1, min(K, points_per_group // block ** 3))
+    ngroups = math.ceil(K / max_group)
+    group = math.ceil(K / ngroups)
     pad = ngroups * group - K
     ids = jnp.pad(block_flat, (0, pad), mode="edge").reshape(ngroups, group)
 
