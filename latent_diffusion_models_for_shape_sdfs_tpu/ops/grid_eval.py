@@ -159,6 +159,10 @@ def _eval_blocks(apply_fn: ApplyFn, z: jnp.ndarray, block_flat: jnp.ndarray,
     decode) must divide points_per_group by the batch size — vmap scales
     every group activation by the batch."""
     K = block_flat.shape[0]
+    if K == 0:
+        out_dt = jax.eval_shape(
+            apply_fn, z, jnp.zeros((block ** 3, 3), jnp.float32)).dtype
+        return jnp.zeros((0, block ** 3), out_dt)
     # Balance the groups instead of filling to points_per_group: with
     # e.g. K=136448 (512^3 bench caps) a greedy group of 131072 makes
     # TWO groups where the second is 96% edge-padding — the fine eval
@@ -565,6 +569,11 @@ def _decode_grid_hier3_impl(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
         conv = (lambda v: v.astype(dt)) if dt != jnp.float32 \
             else (lambda v: v)
     if out_dtype == "int4":
+        if (b2 ** 3) % 2:
+            raise ValueError(
+                f"int4 payload packs fine-row values pairwise and needs "
+                f"an even row length b2**3; got b2={b2} "
+                f"(b2**3={b2 ** 3}). Use an even b2 or out_dtype='int8'.")
         # bandwidth mode: the fine rows (the payload's dominant bytes)
         # pack to 4-bit two's-complement nibbles at clip tau2/2 — still
         # >= the h*sqrt(3) bound on crossing-cell corner magnitudes, so
@@ -721,6 +730,11 @@ def decode_grid_hierarchical3_sparse2(apply_fn: ApplyFn, z: jnp.ndarray,
     Reconstruct with sparse2_to_grid.
     """
     assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    if out_dtype == "int4" and (b2 ** 3) % 2:
+        raise ValueError(
+            f"int4 payload packs fine-row values pairwise and needs an "
+            f"even row length b2**3; got b2={b2} (b2**3={b2 ** 3}). "
+            f"Use an even b2 or out_dtype='int8'.")
     cap1 = min(cap1, (res // b1) ** 3)
     cap2 = min(cap2, cap1 * (b1 // b2) ** 3)
     cap3 = min(cap3, cap2 * (b2 // b3) ** 3)

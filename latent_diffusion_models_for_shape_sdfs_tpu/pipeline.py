@@ -196,9 +196,37 @@ def load_diff_state(exp_dir: str) -> tuple:
 
 def _enc_bank(cfg: ExperimentConfig, dataset: SdfDataset) -> tuple:
     """Per-scene observation bank [S,P,3]/[S,P] for encoder training
-    (same construction as the partial-SDF conditioning bank)."""
+    (same construction as the partial-SDF conditioning bank).
+
+    For the `analytic:chair` source the bank is generated ON DEVICE
+    (data/analytic_jax — the same path tools/encoder_run.py uses at the
+    6k scale): a host-built bank at config-3 size is ~400 MB of f32
+    pushed over the throttled h2d link (CLAUDE.md: bulk host feeds are
+    a trap). The device bank carries the preprocessor's sample
+    distribution rather than the store's balanced pos/neg draw — both
+    are valid observation models for the encoder (it consumes
+    observations, not loss-balanced batches). Other sources (npz dirs,
+    non-chair families) keep the host path.
+    """
     ec = cfg.encoder
     bank = ec.obs_bank_points or 4 * ec.n_obs
+    if cfg.data_source == "analytic:chair":
+        from latent_diffusion_models_for_shape_sdfs_tpu.data import (
+            analytic, analytic_jax)
+        shapes = analytic.make_synthetic_split(
+            "chair", cfg.ad.num_scenes, seed=cfg.ad.seed)
+        key = jax.random.PRNGKey(ec.seed)
+        gen = jax.jit(jax.vmap(
+            lambda p, k: analytic_jax.sample_sdf_points_device(p, k, bank)))
+        xs, ds_ = [], []
+        for start in range(0, len(shapes), 512):
+            sub = analytic_jax.pack_chairs(shapes[start:start + 512])
+            keys = jax.random.split(jax.random.fold_in(key, start),
+                                    sub.num_shapes)
+            xyz, d = gen(sub, keys)
+            xs.append(xyz)
+            ds_.append(d)
+        return (jnp.concatenate(xs, axis=0), jnp.concatenate(ds_, axis=0))
     rng = np.random.default_rng(ec.seed)
     xs, ds_ = [], []
     for i in range(len(dataset)):

@@ -364,6 +364,12 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
     STOP). Returns the number of request files served. Crash-safe by
     construction: inputs are only renamed AFTER their outputs are fully
     written, so a restarted daemon re-serves any half-done request.
+
+    Pickup is write-safe without a client-side rename protocol: a
+    request is loaded only after its (size, mtime) is stable across two
+    polls, so an in-flight ``np.save`` is neither read mid-write nor
+    quarantined. Request names may be reused after completion — a new
+    ``foo.npy`` supersedes a stale ``foo.npy.done`` marker.
     """
     import json as _json
     import pathlib
@@ -375,19 +381,40 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
     out_dir.mkdir(parents=True, exist_ok=True)
     served = 0
     last_work = time.time()
+    # Atomic pickup without demanding a write-temp-then-rename protocol
+    # from clients: a request is only loaded once its (size, mtime)
+    # signature is unchanged across two consecutive polls, so a np.save
+    # still in flight is never read mid-write (and never quarantined).
+    settling: dict = {}
     while True:
         stop = in_dir / "STOP"
         if stop.exists():
             stop.unlink()
             break
-        reqs = sorted(p for p in in_dir.glob("*.npy")
-                      if not p.with_suffix(p.suffix + ".done").exists())
+        reqs = []
+        for p in sorted(in_dir.glob("*.npy")):
+            try:
+                st = p.stat()
+            except FileNotFoundError:
+                settling.pop(p, None)
+                continue
+            sig = (st.st_size, st.st_mtime_ns)
+            if settling.get(p) == sig:
+                reqs.append(p)
+            else:
+                settling[p] = sig  # new or still growing: settle one poll
         if not reqs:
-            if max_idle is not None and time.time() - last_work > max_idle:
+            if (max_idle is not None and not settling
+                    and time.time() - last_work > max_idle):
                 break
             time.sleep(poll)
             continue
         for req in reqs:
+            settling.pop(req, None)
+            # A reused request name must not be masked by its previous
+            # completion marker (it gets rewritten below on success).
+            done = req.with_suffix(req.suffix + ".done")
+            done.unlink(missing_ok=True)
             try:
                 zs = np.asarray(np.load(req), np.float32)
                 zs = zs[None] if zs.ndim == 1 else zs

@@ -133,7 +133,10 @@ def train_encoder(cfg: EncConfig, codes: jnp.ndarray,
                        steps_per_sec=steps_done / max(time.time() - t0,
                                                       1e-9))
         if checkpoint_fn is not None and (
-                steps_done % cfg.snapshot_every == 0
+                # threshold-crossing, not divisibility: scan_chunk need
+                # not divide snapshot_every for snapshots to fire
+                steps_done // cfg.snapshot_every
+                > (steps_done - chunk) // cfg.snapshot_every
                 or steps_done >= cfg.num_steps):
             checkpoint_fn(steps_done, state, mu, sigma)
     return model, state, (mu, sigma), loss

@@ -118,3 +118,44 @@ def test_reconstruct_z_init_warm_start():
     z3, _ = reconstruct_latent(dec, params, obs_xyz, obs_sdf, cfg3,
                                z_init=z_init)
     assert np.isfinite(np.asarray(z3)).all()
+
+
+def test_snapshots_fire_when_chunk_does_not_divide_interval():
+    # scan_chunk=300, snapshot_every=500: divisibility would fire only
+    # at multiples of both; threshold-crossing must fire near 500 (at
+    # 600) and at the final step.
+    S, P, L = 4, 64, 8
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, (S, P, 3)).astype(np.float32)
+    sdf = rng.normal(size=(S, P)).astype(np.float32) * 0.1
+    codes = rng.normal(size=(S, L)).astype(np.float32)
+    cfg = EncConfig(encoder=TINY, n_obs=16, batch_scenes=2,
+                    num_steps=900, scan_chunk=300, lr=1e-3,
+                    lr_schedule="constant", snapshot_every=500, seed=0)
+    seen = []
+    train_encoder(cfg, jnp.asarray(codes), xyz, sdf,
+                  checkpoint_fn=lambda step, st, mu, sigma:
+                  seen.append(step))
+    assert 600 in seen and 900 in seen, seen
+
+
+def test_enc_bank_device_path_for_chairs(tmp_path):
+    # pipeline._enc_bank must generate the analytic:chairs observation
+    # bank on device (no host-built ~400 MB upload at scale) and its SDF
+    # labels must agree with the host analytic oracle.
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        ExperimentConfig, override)
+    from latent_diffusion_models_for_shape_sdfs_tpu.data import analytic
+    from latent_diffusion_models_for_shape_sdfs_tpu.pipeline import (
+        _enc_bank, build_dataset)
+
+    cfg = override(ExperimentConfig(data_source="analytic:chair"),
+                   **{"ad.num_scenes": 3, "encoder.obs_bank_points": 128})
+    obs_xyz, obs_sdf = _enc_bank(cfg, build_dataset(cfg))
+    assert isinstance(obs_xyz, jnp.ndarray)  # device arrays, not numpy
+    assert obs_xyz.shape == (3, 128, 3) and obs_sdf.shape == (3, 128)
+    shapes = analytic.make_synthetic_split("chair", 3, seed=cfg.ad.seed)
+    for i in range(3):
+        want = analytic.sdf(shapes[i], np.asarray(obs_xyz[i]))
+        np.testing.assert_allclose(np.asarray(obs_sdf[i]), want,
+                                   atol=5e-4)

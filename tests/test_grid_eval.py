@@ -233,3 +233,32 @@ def test_hier3_bf16_preserves_crossings():
         d = np.diff(sd, axis=ax)
         h = np.diff(sh, axis=ax)
         assert not (d & ~h).any(), f"axis {ax}: bf16 grid lost crossings"
+
+
+def test_eval_blocks_empty_active_set():
+    # K=0 (e.g. a zero cap) must yield an empty [0, b^3] result, not a
+    # ZeroDivisionError in the group balancing.
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        _eval_blocks)
+
+    def apply_fn(z, xyz):
+        return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1)) - 0.4
+
+    out = _eval_blocks(apply_fn, jnp.zeros((2,)),
+                       jnp.zeros((0,), jnp.int32), 64, 4)
+    assert out.shape == (0, 64)
+
+
+def test_int4_requires_even_fine_row():
+    # odd b2 -> odd row length -> nibble pairing impossible; must be an
+    # explicit error, not a shape crash deep inside jit
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_sparse2)
+
+    def apply_fn(z, xyz):
+        return jnp.sqrt(jnp.sum(xyz * xyz, axis=-1)) - 0.4
+
+    with np.testing.assert_raises(ValueError):
+        decode_grid_hierarchical3_sparse2(
+            apply_fn, jnp.zeros((2,)), 48, 12, 3, 1, 64, 512, 2048,
+            out_dtype="int4")

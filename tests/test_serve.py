@@ -379,3 +379,45 @@ def test_int4_payload_bandwidth_mode():
     out8 = list(serve_meshes(sphere_apply, [z], res=res,
                              out_dtype="int8"))
     assert st["payload_bytes"] < 0.75 * out8[0][2]["payload_bytes"]
+
+
+def test_watch_and_serve_name_reuse(tmp_path):
+    """A request name reused after completion must be served again (a
+    stale <name>.npy.done marker must not silently mask new work), and
+    write-settle pickup must not race a slow writer."""
+    import threading
+    import time as _time
+    from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+        watch_and_serve)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils import meshio
+
+    in_dir = tmp_path / "q"
+    out_dir = tmp_path / "meshes"
+    in_dir.mkdir()
+    np.save(in_dir / "req.npy", np.asarray([0.0, 0.0], np.float32))
+
+    def feed():
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if (in_dir / "req.npy.done").exists():
+                break
+            _time.sleep(0.05)
+        # reuse the SAME name with a different latent while the stale
+        # .done marker is still present
+        np.save(in_dir / "req.npy", np.asarray([1.0, 0.0], np.float32))
+        while _time.time() < deadline:
+            if ((in_dir / "req.npy.done").exists()
+                    and not (in_dir / "req.npy").exists()):
+                break
+            _time.sleep(0.05)
+        (in_dir / "STOP").touch()
+
+    t = threading.Thread(target=feed)
+    t.start()
+    served = watch_and_serve(sphere_apply, in_dir, out_dir, res=64,
+                             poll=0.05)
+    t.join()
+    assert served == 2
+    # the mesh on disk is the SECOND request's (radius 0.45, not 0.35)
+    v, _f = meshio.read_ply(out_dir / "req_000.ply")
+    assert np.abs(np.linalg.norm(v, axis=1) - 0.45).max() < 0.04
