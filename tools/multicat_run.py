@@ -107,12 +107,15 @@ def main():
           f"{report['train_chamfer_median']:.2e}", flush=True)
 
     # ---------------- stage 2: class-conditional latent DDPM (CFG)
+    # recipe = the config-3 sweep winner "big300k" (SCALE.md: best
+    # eps-fit, 1-NNA 0.45) with the class-conditional head added
     dcfg = DiffConfig(
-        denoiser=DenoiserConfig(latent_size=256, hidden_dim=512,
-                                num_blocks=4, num_classes=N_CLASSES,
+        denoiser=DenoiserConfig(latent_size=256, hidden_dim=1024,
+                                num_blocks=6, num_classes=N_CLASSES,
                                 cond_drop_prob=0.1),
-        timesteps=1000, batch_size=256, num_steps=40_000, scan_chunk=200,
-        seed=0)
+        timesteps=1000, batch_size=128, num_steps=300_000,
+        lr=2e-4, lr_schedule="cosine", warmup_steps=2000,
+        scan_chunk=200, seed=0)
     t0 = time.time()
     model, dstate, (mu, sigma), dloss = train_diffusion(
         dcfg, state.codes, class_ids=class_ids,
@@ -194,7 +197,9 @@ def main():
         f"- train-set Chamfer-L2 (1 shape/class, 128^3): median "
         f"{report['train_chamfer_median']:.2e}",
         f"- stage-2 class-conditional DDPM (CFG null-token, 13-class "
-        f"embedding): eps-MSE {report['diff_loss']:.3f} after "
+        f"embedding; the SCALE.md sweep-winning big300k recipe: "
+        f"h{dcfg.denoiser.hidden_dim}/b{dcfg.denoiser.num_blocks}, "
+        f"cosine LR): eps-MSE {report['diff_loss']:.3f} after "
         f"{dcfg.num_steps} steps ({report['diff_seconds']:.0f}s)",
         f"- per-class DDIM-50 w/ CFG 2.0, 96^3 decode: "
         f"{N_CLASSES * N_GEN - total_empty}/{N_CLASSES * N_GEN} samples "
