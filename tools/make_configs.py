@@ -30,7 +30,11 @@ def main():
         ExperimentConfig(name="config3_chairs_joint",
                          data_source="analytic:chair"),
         **{"ad.num_scenes": 6000, "ad.scenes_per_batch": 64,
-           "ad.num_epochs": 2001, "diff.num_steps": 100_000,
+           "ad.num_epochs": 2001,
+           "diff.denoiser.hidden_dim": 1024, "diff.denoiser.num_blocks": 6,
+           "diff.num_steps": 300_000, "diff.lr": 2e-4,
+           "diff.lr_schedule": "cosine", "diff.warmup_steps": 2000,
+           "diff.batch_size": 128,
            "sample.grid_res": 128,
            "ad.decoder.compute_dtype": "bfloat16",
            "ad.decoder.dropout_impl": "pallas"})
@@ -42,7 +46,10 @@ def main():
         **{"ad.num_scenes": 1300, "ad.scenes_per_batch": 64,
            "diff.denoiser.num_classes": 13,
            "diff.denoiser.partial_sdf_cond": True,
-           "diff.num_steps": 100_000,
+           "diff.denoiser.hidden_dim": 1024, "diff.denoiser.num_blocks": 6,
+           "diff.num_steps": 300_000, "diff.lr": 2e-4,
+           "diff.lr_schedule": "cosine", "diff.warmup_steps": 2000,
+           "diff.batch_size": 128,
            "sample.grid_res": 256, "sample.num_samples": 64,
            "sample.guidance_scale": 2.0,
            "ad.decoder.compute_dtype": "bfloat16",
@@ -56,7 +63,10 @@ def main():
         **{"ad.num_scenes": 6500, "ad.scenes_per_batch": 64,
            "ad.data_parallel": True,
            "diff.denoiser.num_classes": 13,
-           "diff.num_steps": 200_000,
+           "diff.denoiser.hidden_dim": 1024, "diff.denoiser.num_blocks": 6,
+           "diff.num_steps": 300_000, "diff.lr": 2e-4,
+           "diff.lr_schedule": "cosine", "diff.warmup_steps": 2000,
+           "diff.batch_size": 128,
            "sample.grid_res": 512, "sample.num_samples": 64,
            "ad.decoder.compute_dtype": "bfloat16",
            "ad.decoder.dropout_impl": "pallas"})
