@@ -306,10 +306,17 @@ def fused_train_loss_grads(decoder: SdfDecoder, params: dict,
     return loss, dz, grads_folded
 
 
-def make_pallas_ad_loss_grads(decoder: SdfDecoder,
-                              cfg: AdConfig) -> Callable:
+def make_pallas_ad_loss_grads(decoder: SdfDecoder, cfg: AdConfig,
+                              reg_scene_count: int | None = None
+                              ) -> Callable:
     """Drop-in for jax.value_and_grad(loss_fn, argnums=(0,1), has_aux=True)
-    in train/auto_decoder.make_ad_train_step (the cfg.use_pallas path)."""
+    in train/auto_decoder.make_ad_train_step (the cfg.use_pallas path).
+
+    `reg_scene_count`: scene count used to normalize the code-reg term.
+    Defaults to the LOCAL batch (z.shape[0]) — correct single-device.
+    Under shard_map data parallelism (parallel/dp.py) each shard sees
+    scenes_per_batch/n scenes but partial sums are psum'd across shards,
+    so the caller passes the GLOBAL cfg.scenes_per_batch here."""
     from latent_diffusion_models_for_shape_sdfs_tpu import losses
     from latent_diffusion_models_for_shape_sdfs_tpu.models.latent_table \
         import LatentTable, gather_codes

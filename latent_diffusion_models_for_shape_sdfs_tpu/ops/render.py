@@ -89,18 +89,29 @@ def _render_program(apply_fn: Callable, z: jnp.ndarray,
     t_exit = t0 + 2.0 * bound + 0.2     # leave the bound -> miss
 
     def body(_, carry):
-        t, hit, alive = carry
+        t, t_prev, s_prev, hit, alive = carry
         p = o + t[:, None] * d
         s = apply_fn(z, p).astype(jnp.float32)
-        hit_now = alive & (jnp.abs(s) < eps)
+        close = jnp.abs(s) < eps
+        # A positive-to-negative crossing means the ray overshot INTO the
+        # surface (non-metric SDF regions): count it as a hit at the
+        # secant-interpolated crossing instead of clamping the step to
+        # 1e-4 and stalling inside (which rendered background speckles
+        # through thin features).
+        crossed = alive & (s < -eps) & (s_prev > 0.0)
+        t_cross = t_prev + s_prev / jnp.maximum(s_prev - s, 1e-12) \
+            * (t - t_prev)
+        hit_now = alive & (close | crossed)
         hit = hit | hit_now
         step = jnp.maximum(s * step_scale, 1e-4)
-        t_new = jnp.where(alive & ~hit_now, t + step, t)
+        t_new = jnp.where(alive & ~hit_now, t + step,
+                          jnp.where(crossed & ~close, t_cross, t))
         alive = alive & ~hit_now & (t_new < t_exit)
-        return t_new, hit, alive
+        return t_new, t, s, hit, alive
 
-    t, hit, _ = jax.lax.fori_loop(
-        0, steps, body, (t0, jnp.zeros(n, bool), alive0))
+    t, _, _, hit, _ = jax.lax.fori_loop(
+        0, steps, body, (t0, t0, jnp.full(n, 1e9), jnp.zeros(n, bool),
+                         alive0))
     p = o + t[:, None] * d
 
     # central-difference normals (batched: 6 evals in one program each)

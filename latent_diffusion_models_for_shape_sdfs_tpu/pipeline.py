@@ -215,7 +215,11 @@ def _enc_bank(cfg: ExperimentConfig, dataset: SdfDataset) -> tuple:
             analytic, analytic_jax)
         shapes = analytic.make_synthetic_split(
             "chair", cfg.ad.num_scenes, seed=cfg.ad.seed)
-        key = jax.random.PRNGKey(ec.seed)
+        # Distinct stream tag: train_encoder derives per-step keys as
+        # fold_in(PRNGKey(cfg.seed), step), so a bare fold_in(key, start)
+        # here would collide with it at steps 0, 512, ... — tag the bank
+        # stream so the two can never overlap.
+        key = jax.random.fold_in(jax.random.PRNGKey(ec.seed), 0xBA17)
         gen = jax.jit(jax.vmap(
             lambda p, k: analytic_jax.sample_sdf_points_device(p, k, bank)))
         xs, ds_ = [], []

@@ -400,7 +400,7 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
                 continue
             sig = (st.st_size, st.st_mtime_ns)
             if settling.get(p) == sig:
-                reqs.append(p)
+                reqs.append((p, sig))
             else:
                 settling[p] = sig  # new or still growing: settle one poll
         if not reqs:
@@ -409,12 +409,24 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
                 break
             time.sleep(poll)
             continue
-        for req in reqs:
+        for req, pickup_sig in reqs:
             settling.pop(req, None)
             # A reused request name must not be masked by its previous
             # completion marker (it gets rewritten below on success).
             done = req.with_suffix(req.suffix + ".done")
             done.unlink(missing_ok=True)
+
+            def _retire(suffix):
+                # Name-reuse race guard: if the client overwrote req
+                # while we served the OLD content, renaming now would
+                # silently drop the new request — re-stat and leave a
+                # changed file in place for the next poll instead.
+                try:
+                    st2 = req.stat()
+                except FileNotFoundError:
+                    return
+                if (st2.st_size, st2.st_mtime_ns) == pickup_sig:
+                    req.rename(req.with_suffix(req.suffix + suffix))
             try:
                 zs = np.asarray(np.load(req), np.float32)
                 zs = zs[None] if zs.ndim == 1 else zs
@@ -434,12 +446,12 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
                 # keep serving (a daemon must outlive bad inputs)
                 (out_dir / f"{req.stem}.error.json").write_text(
                     _json.dumps({"error": f"{type(e).__name__}: {e}"}))
-                req.rename(req.with_suffix(req.suffix + ".failed"))
+                _retire(".failed")
                 last_work = time.time()
                 continue
             (out_dir / f"{req.stem}.stats.json").write_text(
                 _json.dumps(stats_all, indent=2, default=float))
-            req.rename(req.with_suffix(req.suffix + ".done"))
+            _retire(".done")
             served += 1
             last_work = time.time()
     return served

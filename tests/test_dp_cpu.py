@@ -16,8 +16,6 @@ import subprocess
 import sys
 import textwrap
 
-import pytest
-
 from conftest import REPO, cpu_sim_env
 
 _SCRIPT = textwrap.dedent("""
@@ -174,8 +172,10 @@ _SCRIPT = textwrap.dedent("""
 """)
 
 
-@pytest.mark.timeout(600)
 def test_dp_on_8_cpu_devices():
+    # No pytest-timeout plugin in this image — the hang guard is the
+    # subprocess-level timeout below (570 s kills a wedged 8-CPU child
+    # without hanging the suite).
     script = _SCRIPT.replace("{repo}", str(REPO))
     proc = subprocess.run([sys.executable, "-c", script],
                           env=cpu_sim_env(8), capture_output=True,
