@@ -361,7 +361,8 @@ def make_pallas_ad_loss_grads(decoder: SdfDecoder, cfg: AdConfig,
                               cfg.code_bound)
             return losses.code_reg(zr, epoch, cfg.code_reg_lambda,
                                    cfg.code_reg_warmup_epochs,
-                                   num_sdf_samples=zr.shape[0],
+                                   num_sdf_samples=(reg_scene_count
+                                                    or zr.shape[0]),
                                    squared=cfg.code_reg_squared)
 
         reg, g_codes_reg = jax.value_and_grad(reg_fn)(codes)

@@ -24,7 +24,44 @@ from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import SdfDecoder
 from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
     DATA_AXIS, batch_sharded, replicated)
 from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
-    make_ad_train_step)
+    make_ad_train_step, pallas_train_ok)
+
+
+def _shard_map_pallas_vag(decoder: SdfDecoder, cfg: AdConfig,
+                          mesh: Mesh) -> Callable:
+    """The fused Pallas fwd+loss+bwd kernel wrapped for the device mesh.
+
+    A pallas_call inside a GSPMD-sharded jit has no partitioning rule —
+    XLA would replicate the kernel (n x the work) or fail to lower — so
+    the production perf mode runs the kernel under shard_map: each
+    device executes the fused kernel on its scene shard, loss/grad
+    partial sums are psum'd over every mesh axis, and the (replicated)
+    optimizer update stays outside in plain XLA. The loss and code-reg
+    normalizations stay GLOBAL (cfg.scenes_per_batch * samples_per_scene
+    and cfg.scenes_per_batch), so psum-of-partial-sums is bit-equivalent
+    to the single-device reduction order per shard.
+    """
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train import (
+        make_pallas_ad_loss_grads)
+    axes = mesh.axis_names
+    vag = make_pallas_ad_loss_grads(
+        decoder, cfg, reg_scene_count=cfg.scenes_per_batch)
+
+    def local_vag(params, codes, scene_ids, xyz, sdf, epoch, key):
+        # Decorrelate the in-kernel hardware-PRNG dropout streams across
+        # shards (no-op for the math when dropout is off).
+        for ax in axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        out = vag(params, codes, scene_ids, xyz, sdf, epoch, key)
+        return jax.lax.psum(out, axes)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-manual-axes
+    # metadata, so the vma checker cannot type them; replication of the
+    # outputs is guaranteed by the explicit psum above.
+    return jax.shard_map(
+        local_vag, mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(), P()),
+        out_specs=P(), check_vma=False)
 
 
 def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
@@ -32,13 +69,18 @@ def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
     """Sharded stage-1 train step: scene axis split over the mesh.
 
     cfg.scenes_per_batch must be divisible by the mesh size. Returned
-    callable has the same signature as the single-chip step.
+    callable has the same signature as the single-chip step. With
+    cfg.use_pallas the fused train kernel runs per-shard via shard_map
+    (see _shard_map_pallas_vag); the plain-XLA path stays pure GSPMD.
     """
     n = mesh.size  # works for Mesh and AbstractMesh (AOT sharding tests)
     assert cfg.scenes_per_batch % n == 0, (
         f"scenes_per_batch={cfg.scenes_per_batch} not divisible by "
         f"mesh size {n}")
-    step = make_ad_train_step(decoder, cfg, jit=False)
+    vag = (_shard_map_pallas_vag(decoder, cfg, mesh)
+           if pallas_train_ok(cfg) else None)
+    step = make_ad_train_step(decoder, cfg, jit=False,
+                              value_and_grads=vag)
     rep = replicated(mesh)
     ids_s = batch_sharded(mesh, 1)
     xyz_s = batch_sharded(mesh, 3)
@@ -50,6 +92,45 @@ def make_dp_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_dp_bank_step(decoder: SdfDecoder, cfg: AdConfig,
+                      mesh: Mesh) -> Callable:
+    """Sharded device-data train step: on-device balanced draw + step.
+
+    The production feed (AdConfig.device_data) composed with the mesh:
+    the sample bank is REPLICATED (every device holds the store — the
+    same 'params/table replicated, batch sharded' DP layout; scene-
+    sharded banks are the next scale-out step if per-device HBM binds),
+    scene_ids are batch-sharded, so the balanced gather/draw lowers
+    shard-locally under GSPMD and the step — including the fused Pallas
+    kernel under shard_map when cfg.use_pallas — consumes an already-
+    sharded batch. Signature matches train_auto_decoder's single-device
+    bank_step: (state, bank, scene_ids, epoch, key) -> (state, metrics).
+    The draw is deterministic given (key, scene_ids) and elementwise in
+    batch position, so results are GSPMD-exact vs single-device.
+    """
+    n = mesh.size
+    assert cfg.scenes_per_batch % n == 0, (
+        f"scenes_per_batch={cfg.scenes_per_batch} not divisible by "
+        f"mesh size {n}")
+    vag = (_shard_map_pallas_vag(decoder, cfg, mesh)
+           if pallas_train_ok(cfg) else None)
+    raw_step = make_ad_train_step(decoder, cfg, jit=False,
+                                  value_and_grads=vag)
+    P_ = cfg.samples_per_scene
+    rep = replicated(mesh)
+    ids_s = batch_sharded(mesh, 1)
+
+    def bank_step(state, bank_, scene_ids, epoch, key):
+        k_data, k_step = jax.random.split(key)
+        xyz, sdf = bank_.sample_batch(k_data, scene_ids, P_)
+        return raw_step(state, scene_ids, xyz, sdf, epoch, k_step)
+
+    return jax.jit(bank_step,
+                   in_shardings=(rep, rep, ids_s, rep, rep),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,))
 
 
 def make_dp_ddim_fn(denoise_fn, schedule, num: int, latent_size: int,
@@ -82,15 +163,20 @@ def dp_ddim_sample(denoise_fn, schedule, key, num: int, latent_size: int,
 def make_decode_points_fn(apply_fn, mesh: Mesh):
     """Jitted (z [L], xyz [N,3]) -> [N] with the point axis sharded over
     the mesh (factory form for AOT sharding tests); N % mesh.size == 0 is
-    the caller's contract."""
+    the caller's contract.
+
+    shard_map (not bare GSPMD) so apply_fn may contain a pallas_call
+    (ops.pallas_kernels.make_pallas_apply): each device runs the fused
+    eval kernel on its point shard; there is no communication at all —
+    queries are independent."""
+    axes = mesh.axis_names
     pts_s = batch_sharded(mesh, 2)
     out_s = batch_sharded(mesh, 1)
-
-    @partial(jax.jit, in_shardings=(None, pts_s), out_shardings=out_s)
-    def run(zz, pts):
-        return apply_fn(zz, pts)
-
-    return run
+    run = jax.shard_map(lambda zz, pts: apply_fn(zz, pts), mesh=mesh,
+                        in_specs=(P(), P(axes)), out_specs=P(axes),
+                        check_vma=False)  # pallas out_shapes have no vma
+    return jax.jit(run, in_shardings=(replicated(mesh), pts_s),
+                   out_shardings=out_s)
 
 
 def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
@@ -139,10 +225,20 @@ def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
             points_per_group=ppg, out_dtype=out_dtype)
         return (c1, c2, i1, v2, i2), (n1, n2, n3)
 
+    # shard_map over the shape axis (not bare GSPMD-over-vmap): each
+    # device vmaps `one` over its LOCAL batch/mesh.size shapes, so a
+    # pallas_call inside apply_fn (the fused eval kernel) lowers per
+    # device instead of hitting GSPMD with no partitioning rule. The
+    # decode is embarrassingly parallel — zero collectives.
+    axes = mesh.axis_names
     sh1 = batch_sharded(mesh, 1)
     sh2 = batch_sharded(mesh, 2)
     sh3 = batch_sharded(mesh, 3)
-    return jax.jit(jax.vmap(one),
+    pa = P(axes)
+    run = jax.shard_map(jax.vmap(one), mesh=mesh, in_specs=(pa,),
+                        out_specs=((pa, pa, pa, pa, pa), (pa, pa, pa)),
+                        check_vma=False)  # pallas out_shapes have no vma
+    return jax.jit(run,
                    in_shardings=(sh2,),
                    out_shardings=((sh2, sh3, sh2, sh3, sh2),
                                   (sh1, sh1, sh1)))

@@ -64,10 +64,26 @@ def init_ad_state(cfg: AdConfig, decoder: SdfDecoder,
     )
 
 
+def pallas_train_ok(cfg: AdConfig) -> bool:
+    """Whether the fused Pallas train kernel (ops/fused_train.py) can run
+    here: its in-kernel dropout needs the TPU hardware PRNG, so on CPU
+    (interpret mode) the kernel is only usable with dropout off."""
+    return bool(cfg.use_pallas) and (
+        jax.devices()[0].platform != "cpu"
+        or not (cfg.decoder.use_dropout and cfg.decoder.dropout_prob > 0))
+
+
 def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
-                       jit: bool = True) -> Callable:
+                       jit: bool = True,
+                       value_and_grads: Optional[Callable] = None
+                       ) -> Callable:
     """Returns step(state, scene_ids[S], xyz[S,P,3], sdf[S,P], epoch, key)
-    -> (state, metrics). Pure function; shard_map-wrappable."""
+    -> (state, metrics). Pure function; shard_map-wrappable.
+
+    `value_and_grads`: override for the loss+grad computation with the
+    same contract as jax.value_and_grad(loss_fn, argnums=(0,1),
+    has_aux=True) — parallel/dp.py injects a shard_map-wrapped fused
+    Pallas kernel here so the optimizer update logic stays shared."""
     adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     S, P = cfg.scenes_per_batch, cfg.samples_per_scene
     num_sdf_samples = S * P
@@ -91,12 +107,9 @@ def make_ad_train_step(decoder: SdfDecoder, cfg: AdConfig,
                               squared=cfg.code_reg_squared)
         return l1 + reg, {"loss_l1": l1, "loss_reg": reg}
 
-    # The fused kernel's in-kernel dropout needs the TPU hardware PRNG —
-    # on CPU (interpret mode) fall back to XLA autodiff when dropout is on.
-    pallas_ok = cfg.use_pallas and (
-        jax.devices()[0].platform != "cpu"
-        or not (cfg.decoder.use_dropout and cfg.decoder.dropout_prob > 0))
-    if pallas_ok:
+    if value_and_grads is not None:
+        pass  # injected (shard_map-wrapped) loss+grad path
+    elif pallas_train_ok(cfg):
         # fused Pallas fwd+loss+bwd kernel (ops/fused_train.py): zero HBM
         # activation traffic; same (loss, aux), (g_dec, g_lat) contract.
         from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train \
@@ -179,18 +192,29 @@ def train_auto_decoder(cfg: AdConfig, dataset: Optional[SdfDataset],
             from latent_diffusion_models_for_shape_sdfs_tpu.data.\
                 device_bank import DeviceSampleBank
             bank = DeviceSampleBank.from_dataset(dataset)
-        raw_step = make_ad_train_step(decoder, cfg, jit=False)
-        P = cfg.samples_per_scene
+        if cfg.data_parallel and len(jax.devices()) > 1:
+            # device-data composed with the mesh (bank replicated,
+            # batch sharded, fused Pallas kernel under shard_map when
+            # cfg.use_pallas) — parallel/dp.py
+            from latent_diffusion_models_for_shape_sdfs_tpu.parallel \
+                import make_mesh
+            from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp \
+                import make_dp_bank_step
+            bank_step = make_dp_bank_step(decoder, cfg, make_mesh())
+        else:
+            raw_step = make_ad_train_step(decoder, cfg, jit=False)
+            P = cfg.samples_per_scene
 
-        # NB: the bank rides as a jit ARGUMENT, not a closure constant — a
-        # config-3-scale store (3+ GiB) captured as a constant gets
-        # embedded in the lowered program (XLA may hold a second copy and
-        # lowering warns at 3.22 GiB measured).
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def bank_step(state, bank_, scene_ids, epoch, key):
-            k_data, k_step = jax.random.split(key)
-            xyz, sdf = bank_.sample_batch(k_data, scene_ids, P)
-            return raw_step(state, scene_ids, xyz, sdf, epoch, k_step)
+            # NB: the bank rides as a jit ARGUMENT, not a closure
+            # constant — a config-3-scale store (3+ GiB) captured as a
+            # constant gets embedded in the lowered program (XLA may
+            # hold a second copy; lowering warns at 3.22 GiB measured).
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def bank_step(state, bank_, scene_ids, epoch, key):
+                k_data, k_step = jax.random.split(key)
+                xyz, sdf = bank_.sample_batch(k_data, scene_ids, P)
+                return raw_step(state, scene_ids, xyz, sdf, epoch,
+                                k_step)
 
     logger = logger or MetricLogger()
     rng = np.random.default_rng(cfg.seed + 1)

@@ -161,6 +161,139 @@ _SCRIPT = textwrap.dedent("""
                                rtol=1e-5, atol=1e-6)
     print("OK mesh_2level")
 
+    # --- FUSED PALLAS TRAIN KERNEL under the mesh (VERDICT r3 #1): the
+    # production perf mode (use_pallas) runs the fused fwd+loss+bwd
+    # kernel per-shard via shard_map (interpret mode on CPU, dropout
+    # off). Parity ladder:
+    #   (a) decomposition-exact: sharded == manual per-shard partial
+    #       grads, chained per shard, summed on host (mirrors psum);
+    #   (b) cross-path: sharded == single-device fused kernel, with a
+    #       reduction-order tolerance — per-shard f32 partial sums
+    #       chained through the weight-norm-fold VJP round differently
+    #       than one sequential 16-scene accumulation (measured ~2e-3
+    #       rel-to-leaf-max; dz/bias grads and the loss are exact).
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        _shard_map_pallas_vag)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_train import (
+        make_pallas_ad_loss_grads)
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import override
+    P_TILE = 256  # fused kernel needs samples_per_scene % 256 == 0
+    xyz_p = jax.random.uniform(jax.random.PRNGKey(21), (S, P_TILE, 3),
+                               jnp.float32, -1, 1)
+    sdf_p = 0.05 * jax.random.normal(jax.random.PRNGKey(22), (S, P_TILE))
+    cfg_p = override(cfg, use_pallas=True, samples_per_scene=P_TILE)
+    st0 = init_ad_state(cfg_p, decoder, jax.random.PRNGKey(0))
+    vag_dp = jax.jit(_shard_map_pallas_vag(decoder, cfg_p, mesh))
+    (l_dp, aux_dp), (gd_dp, gl_dp) = vag_dp(st0.params, st0.codes, ids,
+                                            xyz_p, sdf_p, ep, k)
+    # (a) manual decomposition reference: same per-shard program on one
+    # device, partials summed on host (psum order is the only variance)
+    vag_loc = jax.jit(make_pallas_ad_loss_grads(
+        decoder, cfg_p, reg_scene_count=cfg_p.scenes_per_batch))
+    acc = None
+    for d in range(8):
+        sl = slice(d * (S // 8), (d + 1) * (S // 8))
+        part = vag_loc(st0.params, st0.codes, ids[sl], xyz_p[sl],
+                       sdf_p[sl], ep, k)
+        acc = part if acc is None else jax.tree.map(
+            lambda a, b: a + b, acc, part)
+    (l_ref, _), (gd_ref, gl_ref) = acc
+    np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves((gd_dp, gl_dp)),
+                    jax.tree.leaves((gd_ref, gl_ref))):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        sc = max(np.abs(b).max(), 1e-12)
+        assert np.abs(a - b).max() <= 1e-5 * sc, (np.abs(a - b).max(), sc)
+    # (b) cross-path vs the single-device fused kernel
+    vag_1d = jax.jit(make_pallas_ad_loss_grads(decoder, cfg_p))
+    (l_1p, _), (gd_1p, gl_1p) = vag_1d(st0.params, st0.codes, ids, xyz_p,
+                                       sdf_p, ep, k)
+    np.testing.assert_allclose(float(l_dp), float(l_1p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gl_dp), np.asarray(gl_1p),
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(gd_dp), jax.tree.leaves(gd_1p)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        sc = max(np.abs(b).max(), 1e-12)
+        assert np.abs(a - b).max() <= 5e-3 * sc, (np.abs(a - b).max(), sc)
+    # full sharded STEP with the pallas path executes (optimizer update
+    # on psum'd grads) on both topologies
+    step_p = make_dp_ad_train_step(decoder, cfg_p, mesh)
+    st_p, m_p = step_p(st0, ids, xyz_p, sdf_p, ep, k)
+    assert np.isfinite(float(m_p["loss"]))
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
+        make_mesh_2level as _mm2)
+    step_p24 = make_dp_ad_train_step(decoder, cfg_p, _mm2(2, 4))
+    st_p24, m_p24 = step_p24(init_ad_state(cfg_p, decoder,
+                                           jax.random.PRNGKey(0)),
+                             ids, xyz_p, sdf_p, ep, k)
+    np.testing.assert_allclose(float(m_p24["loss"]), float(m_p["loss"]),
+                               rtol=1e-6)
+    print("OK pallas_train_dp")
+
+    # --- FUSED PALLAS EVAL KERNEL under the mesh: point-sharded decode
+    # and the sharded sparse serving path both run the fused eval kernel
+    # (make_pallas_apply) per-shard; parity vs the same kernel single-
+    # device (elementwise per point/shape => exact).
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply)
+    pap = make_pallas_apply(decoder, params, tile=1024)
+    vp_dp = decode_points_sharded(pap, z, pts, mesh)
+    vp_1d = pap(z, pts)
+    np.testing.assert_array_equal(np.asarray(vp_dp), np.asarray(vp_1d))
+    # untrained decoder => near-flat SDF, so give FULL caps (res=32:
+    # 8 l1 / 512 l2 / 4096 l3 blocks): no escalation on either path and
+    # parity is well-defined whatever the surface looks like
+    lat2 = [0.3 * np.asarray(jax.random.normal(
+        jax.random.fold_in(jax.random.PRNGKey(30), i), (L,)))
+        for i in range(8)]
+    full_caps = (8, 512, 4096)
+    out_pp = list(serve_meshes_sharded(pap, lat2, mesh, res=32,
+                                       caps=full_caps))
+    out_p1 = list(serve_meshes(pap, lat2, res=32, caps=full_caps))
+    assert len(out_pp) == len(lat2)
+    for (vd, fd, sd), (v1, f1, s1) in zip(out_pp, out_p1):
+        assert sd["active_l2"] == s1["active_l2"], (sd, s1)
+        np.testing.assert_array_equal(vd, v1)
+        np.testing.assert_array_equal(fd, f1)
+    print("OK pallas_eval_dp")
+
+    # --- device-data bank step under the mesh (bank replicated, batch
+    # sharded; parallel.dp.make_dp_bank_step): GSPMD-exact vs the
+    # single-device bank step on the XLA path, and the pallas path
+    # executes through the same on-device draw.
+    import functools
+    from latent_diffusion_models_for_shape_sdfs_tpu.data.device_bank import (
+        DeviceSampleBank)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        make_dp_bank_step)
+    rngb = np.random.default_rng(5)
+    rows = rngb.uniform(-1, 1, (S, 64, 4)).astype(np.float32)
+    bank = DeviceSampleBank(pos=jnp.asarray(rows), neg=jnp.asarray(-rows),
+                            pos_count=jnp.full((S,), 64, jnp.int32),
+                            neg_count=jnp.full((S,), 64, jnp.int32))
+    bstep_dp = make_dp_bank_step(decoder, cfg, mesh)
+    raw = make_ad_train_step(decoder, cfg, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def bstep_1d(state, bank_, ids_, epoch, key):
+        kd, ks = jax.random.split(key)
+        xyz_, sdf_ = bank_.sample_batch(kd, ids_, cfg.samples_per_scene)
+        return raw(state, ids_, xyz_, sdf_, epoch, ks)
+
+    sa = init_ad_state(cfg, decoder, jax.random.PRNGKey(0))
+    sb = jax.tree.map(jnp.copy, sa)
+    for i in range(2):
+        sa, ma = bstep_dp(sa, bank, ids, ep, k)
+        sb, mb = bstep_1d(sb, bank, ids, ep, k)
+    for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    bstep_p = make_dp_bank_step(decoder, cfg_p, mesh)
+    sp, mp = bstep_p(init_ad_state(cfg_p, decoder, jax.random.PRNGKey(0)),
+                     bank, ids, ep, k)
+    assert np.isfinite(float(mp["loss"]))
+    print("OK bank_dp")
+
     # --- driver contract
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -183,5 +316,7 @@ def test_dp_on_8_cpu_devices():
     assert proc.returncode == 0, proc.stderr[-3000:]
     for marker in ("OK train_step", "OK ddim", "OK point_decode",
                    "OK grid_decode", "OK serve_sharded",
-                   "OK mesh_2level", "OK dryrun_multichip"):
+                   "OK mesh_2level", "OK pallas_train_dp",
+                   "OK pallas_eval_dp", "OK bank_dp",
+                   "OK dryrun_multichip"):
         assert marker in proc.stdout, (marker, proc.stdout, proc.stderr[-800:])

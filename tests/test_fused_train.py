@@ -102,6 +102,36 @@ def test_untouched_latent_rows_zero_grad():
             assert np.all(np.asarray(gc[row]) == 0.0), row
 
 
+def test_dp_pallas_on_one_device_mesh_matches_fused():
+    """shard_map-wrapped fused kernel on a 1-device mesh == the unwrapped
+    fused path (psum over one shard is identity, reduction order equal).
+
+    On the TPU suite run this executes the REAL Mosaic kernel inside an
+    sdy manual computation — the only mesh size the single CI chip can
+    execute — complementing the 8-CPU interpret-mode parity in
+    test_dp_cpu.py (VERDICT r3 #1a)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel import (
+        make_dp_ad_train_step)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.mesh import (
+        make_mesh)
+    cfg, dec, state, ids, xyz, sdf = _setup(S=2, P=512)
+    mesh = make_mesh(1)
+    step_dp = make_dp_ad_train_step(dec, cfg, mesh)
+    step_1d = make_ad_train_step(dec, cfg, jit=True)
+    st_a = state
+    st_b = jax.tree.map(jnp.copy, state)
+    for i in range(2):
+        st_a, m_a = step_dp(st_a, ids, xyz, sdf, jnp.asarray(float(i)),
+                            jax.random.PRNGKey(i))
+        st_b, m_b = step_1d(st_b, ids, xyz, sdf, jnp.asarray(float(i)),
+                            jax.random.PRNGKey(i))
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]),
+                                               rel=1e-6)
+    for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_use_pallas_training_trajectory_close_to_xla():
     """5 steps of the full train step (Adam included): parameters from the
     pallas path must track the XLA path within bf16 drift."""

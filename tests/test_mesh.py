@@ -120,6 +120,64 @@ def test_dp_train_step_shardings(amesh, batch_axes):
 
 
 @pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_dp_train_step_shardings_pallas(amesh, batch_axes):
+    """The use_pallas production mode lowers under the mesh: the fused
+    train kernel sits inside an sdy.manual_computation (shard_map — a
+    bare GSPMD jit has no partitioning rule for pallas_call), batch
+    inputs are sharded, and no param/table/opt tensor is batch-sharded
+    (VERDICT r3 #1c)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import override
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.auto_decoder import (
+        init_ad_state)
+    cfg = override(_tiny_cfg(), use_pallas=True, samples_per_scene=256)
+    decoder = SdfDecoder(cfg.decoder)
+    state = jax.eval_shape(partial(init_ad_state, cfg, decoder),
+                           jax.random.PRNGKey(0))
+    S, P = cfg.scenes_per_batch, cfg.samples_per_scene
+    ids = jax.ShapeDtypeStruct((S,), jnp.int32)
+    xyz = jax.ShapeDtypeStruct((S, P, 3), jnp.float32)
+    sdf = jax.ShapeDtypeStruct((S, P), jnp.float32)
+    epoch = jax.ShapeDtypeStruct((), jnp.float32)
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+
+    step = make_dp_ad_train_step(decoder, cfg, amesh)
+    txt = _lower_tpu(step, state, ids, xyz, sdf, epoch, key)
+
+    assert "sdy.manual_computation" in txt, \
+        "pallas path did not lower through shard_map"
+    assert _has_annot(txt, f"{S}xi32", f"[{batch_axes}]"), \
+        "scene_ids not batch-sharded"
+    assert _has_annot(txt, f"{S}x{P}x3xf32", f"[{batch_axes}, {{}}, {{}}]"), \
+        "xyz not batch-sharded"
+    assert _has_annot(txt, f"{S}x{P}xf32", f"[{batch_axes}, {{}}]"), \
+        "sdf not batch-sharded"
+    others = [s for s in _shardings_of(txt) if batch_axes not in s]
+    assert all(('"' not in s) for s in others), others
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
+def test_dp_sparse_decode_pallas_apply_lowers(amesh, batch_axes):
+    """The sharded sparse serving decode lowers with the fused Pallas
+    EVAL kernel as apply_fn (shape axis manual over the mesh)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        make_dp_sparse_decode_fn)
+    cfg = _tiny_cfg()
+    decoder = SdfDecoder(cfg.decoder)
+    params = jax.tree.map(np.asarray, decoder.init_params(
+        jax.random.PRNGKey(0)))
+    pap = make_pallas_apply(decoder, params, tile=1024)
+    S = 16
+    fn = make_dp_sparse_decode_fn(pap, 32, S, amesh, (8, 512, 4096))
+    zs = jax.ShapeDtypeStruct((S, cfg.decoder.latent_size), jnp.float32)
+    txt = _lower_tpu(fn, zs)
+    assert "sdy.manual_computation" in txt
+    assert _has_annot(txt, f"{S}x{cfg.decoder.latent_size}xf32",
+                      f"[{batch_axes}, {{}}]"), "latent batch not sharded"
+
+
+@pytest.mark.parametrize("amesh,batch_axes", ABSTRACT_TOPOLOGIES)
 def test_dp_ddim_out_sharding(amesh, batch_axes):
     from latent_diffusion_models_for_shape_sdfs_tpu.diffusion.schedule import (
         DiffusionSchedule)
