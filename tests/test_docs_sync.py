@@ -1,0 +1,65 @@
+"""Doc-vs-capture staleness guard (VERDICT r3 weak #1 / next #6).
+
+Round 3 shipped a README and PARITY.md quoting 1.94e9 voxels/s and
+283 ms/mesh while the driver capture recorded 2.69e9 / 199 ms — stale
+top-level inventory docs are exactly how a future round mis-baselines
+itself. This test greps the README perf table and PARITY's perf
+paragraph against bench_details.json so the next drift fails loudly.
+
+Tolerances are wide (35%) on purpose: bench_details.json is rewritten
+by every `python bench.py` run and short-program relay lines vary
+±10-20% (CLAUDE.md); the guard catches order-of-version drift (a 35%+
+move means the docs describe a different build), not run noise.
+"""
+
+import json
+import pathlib
+import re
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _details():
+    p = ROOT / "bench_details.json"
+    if not p.exists():
+        pytest.skip("no bench_details.json in this checkout")
+    return json.loads(p.read_text())
+
+
+def _first_number(pattern: str, text: str, doc: str) -> float:
+    m = re.search(pattern, text)
+    assert m, f"{doc}: pattern {pattern!r} not found — table reshaped? " \
+              f"update tests/test_docs_sync.py alongside"
+    return float(m.group(1))
+
+
+def _close(doc_val: float, cap_val: float, what: str, tol: float = 0.35):
+    assert abs(doc_val - cap_val) <= tol * cap_val, (
+        f"{what}: doc quotes {doc_val:.3g} but bench_details.json has "
+        f"{cap_val:.3g} — stale doc (or stale capture: rerun bench.py "
+        f"then update the doc)")
+
+
+def test_readme_perf_table_matches_bench_details():
+    d = _details()
+    txt = (ROOT / "README.md").read_text()
+    v512 = _first_number(
+        r"512\^3, three-level hierarchical\) \| \*\*([0-9.]+)e9\*\*",
+        txt, "README") * 1e9
+    _close(v512, d["hier3_512_effective_voxels_per_sec"], "README 512^3")
+    serve_ms = _first_number(r"\*\*([0-9.]+) ms/mesh\*\*", txt, "README")
+    _close(serve_ms, 1000.0 / d["serve_256_meshes_per_sec"],
+           "README serve ms/mesh")
+
+
+def test_parity_perf_paragraph_matches_bench_details():
+    d = _details()
+    txt = (ROOT / "PARITY.md").read_text()
+    v512 = _first_number(r"512³\s*\n?\*\*([0-9.]+)e9\*\*", txt,
+                         "PARITY") * 1e9
+    _close(v512, d["hier3_512_effective_voxels_per_sec"], "PARITY 512^3")
+    serve_ms = _first_number(r"\*\*([0-9.]+) ms/mesh\*\*", txt, "PARITY")
+    _close(serve_ms, 1000.0 / d["serve_256_meshes_per_sec"],
+           "PARITY serve ms/mesh")
