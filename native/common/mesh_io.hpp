@@ -4,6 +4,8 @@
 // the leading index-list property. Mirrors the Python reader in
 // latent_diffusion_models_for_shape_sdfs_tpu/utils/meshio.py.
 #pragma once
+#include <array>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -18,6 +20,46 @@ struct Mesh {
   std::vector<Vec3> verts;
   std::vector<std::array<int, 3>> faces;
 };
+
+// Hostile-mesh guard (real-world ShapeNet inputs are routinely broken):
+// drops faces with out-of-range indices, non-finite corner coordinates,
+// or repeated indices (exact degenerates), then compacts the vertex
+// array to referenced vertices only — so downstream bbox/normalization
+// math never touches an orphaned NaN vertex. Returns the number of
+// dropped faces. Non-manifold fans, self-intersections, and open
+// boundaries are NOT errors: the BVH + generalized winding number
+// consumer handles them by construction.
+inline size_t sanitize_mesh(Mesh* m) {
+  const int n = static_cast<int>(m->verts.size());
+  auto finite_vert = [&](int i) {
+    const Vec3& v = m->verts[i];
+    return std::isfinite(v.x) && std::isfinite(v.y) && std::isfinite(v.z);
+  };
+  std::vector<std::array<int, 3>> keep;
+  keep.reserve(m->faces.size());
+  for (const auto& f : m->faces) {
+    bool ok = true;
+    for (int k = 0; k < 3; ++k)
+      ok = ok && f[k] >= 0 && f[k] < n && finite_vert(f[k]);
+    if (ok && (f[0] == f[1] || f[1] == f[2] || f[0] == f[2])) ok = false;
+    if (ok) keep.push_back(f);
+  }
+  const size_t dropped = m->faces.size() - keep.size();
+  std::vector<int> remap(n, -1);
+  std::vector<Vec3> nv;
+  nv.reserve(m->verts.size());
+  for (auto& f : keep)
+    for (int k = 0; k < 3; ++k) {
+      if (remap[f[k]] < 0) {
+        remap[f[k]] = static_cast<int>(nv.size());
+        nv.push_back(m->verts[f[k]]);
+      }
+      f[k] = remap[f[k]];
+    }
+  m->verts = std::move(nv);
+  m->faces = std::move(keep);
+  return dropped;
+}
 
 inline Mesh load_obj(const std::string& path) {
   std::ifstream in(path);
@@ -35,9 +77,19 @@ inline Mesh load_obj(const std::string& path) {
     } else if (tag == "f") {
       std::vector<int> idx;
       std::string tok;
+      bool bad = false;
       while (ss >> tok) {
-        idx.push_back(std::stoi(tok.substr(0, tok.find('/'))) - 1);
+        try {
+          int i = std::stoi(tok.substr(0, tok.find('/')));
+          // OBJ negative indices are relative to the vertices read so far
+          idx.push_back(i < 0 ? static_cast<int>(m.verts.size()) + i
+                              : i - 1);
+        } catch (const std::exception&) {  // garbage token: skip face
+          bad = true;
+          break;
+        }
       }
+      if (bad) continue;
       for (size_t k = 1; k + 1 < idx.size(); ++k)
         m.faces.push_back({idx[0], idx[k], idx[k + 1]});
     }

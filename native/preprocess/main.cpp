@@ -51,6 +51,7 @@ std::vector<Vec3> sample_surface(const Mesh& m, size_t n, std::mt19937* rng) {
                       m.verts[f[2]] - m.verts[f[0]])) * 0.5;
     cum[i] = acc;
   }
+  if (!(acc > 0.0)) return {};  // all-degenerate surface: caller errors
   std::uniform_real_distribution<double> ud(0.0, acc);
   std::uniform_real_distribution<float> uf(0.0f, 1.0f);
   std::vector<Vec3> out;
@@ -85,8 +86,16 @@ int main(int argc, char** argv) {
                                   : 500000;
 
   Mesh mesh = load_mesh(mesh_path);
+  // Hostile-input guard (mesh_io.hpp sanitize_mesh): out-of-range
+  // indices, NaN/Inf vertices, and exact-degenerate faces are dropped
+  // with a warning instead of poisoning the BVH / normalization.
+  const size_t dropped = sanitize_mesh(&mesh);
+  if (dropped)
+    std::fprintf(stderr, "warning: %s: dropped %zu invalid face(s)\n",
+                 mesh_path.c_str(), dropped);
   if (mesh.faces.empty()) {
-    std::fprintf(stderr, "empty mesh: %s\n", mesh_path.c_str());
+    std::fprintf(stderr, "empty mesh (after sanitization): %s\n",
+                 mesh_path.c_str());
     return 1;
   }
   Vec3 norm_center;
@@ -105,6 +114,11 @@ int main(int argc, char** argv) {
   const size_t n_unif = n_total - n_surf;
   const size_t half = n_surf / 2;
   std::vector<Vec3> base = sample_surface(mesh, n_surf, &rng);
+  if (base.empty()) {
+    std::fprintf(stderr, "degenerate mesh (zero surface area): %s\n",
+                 mesh_path.c_str());
+    return 1;
+  }
   std::vector<Vec3> queries;
   queries.reserve(n_total);
   std::normal_distribution<float> g1(0.0f, 0.05f), g2(0.0f, 0.0158f);
