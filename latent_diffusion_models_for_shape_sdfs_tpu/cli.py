@@ -256,10 +256,24 @@ def cmd_serve_daemon(args):
 
     decoder, ad_state = load_ad_state(args.exp_dir)
     apply_fn = make_fast_apply(decoder, ad_state.params)
+    recon_fn = None
+    if args.reconstruct != "none":
+        from latent_diffusion_models_for_shape_sdfs_tpu.serve import (
+            make_obs_reconstruct_fn)
+        enc = eparams = moments = None
+        if args.reconstruct == "encoder":
+            from latent_diffusion_models_for_shape_sdfs_tpu.pipeline \
+                import load_encoder_state
+            enc, enc_state, moments = load_encoder_state(args.exp_dir)
+            eparams = enc_state.params
+        recon_fn = make_obs_reconstruct_fn(
+            decoder, ad_state.params, encoder=enc, enc_params=eparams,
+            enc_moments=moments, refine_steps=args.refine_steps)
     n = watch_and_serve(apply_fn, args.in_dir, args.out_dir,
                         res=args.res, poll=args.poll,
                         mesh_format=args.format,
                         max_idle=args.max_idle,
+                        reconstruct_fn=recon_fn,
                         simplify_faces=args.simplify_faces,
                         simplify_ratio=args.simplify)
     print(f"served {n} request files")
@@ -475,6 +489,14 @@ def main(argv=None):
                    help="exit after this many idle seconds (default: "
                    "run until STOP)")
     s.add_argument("--format", choices=("obj", "ply"), default="ply")
+    s.add_argument("--reconstruct", choices=("none", "latent-opt",
+                                             "encoder"), default="none",
+                   help="also accept .npz observation requests "
+                   "(obs_xyz/obs_sdf), served as reconstructions: "
+                   "'encoder' = amortized one-shot (+--refine-steps), "
+                   "'latent-opt' = optimization from scratch")
+    s.add_argument("--refine-steps", type=int, default=0,
+                   help="latent-opt steps refining the encoder one-shot")
     _add_lod_flags(s)
     s.set_defaults(fn=cmd_serve_daemon)
 

@@ -349,15 +349,72 @@ def generate_meshes(apply_fn, denoise_fn, schedule, key, n: int,
     return serve_meshes(apply_fn, list(zs), res=res, **serve_kw)
 
 
+def make_obs_reconstruct_fn(decoder, params, encoder=None,
+                            enc_params=None, enc_moments=None,
+                            refine_steps: int = 0, rcfg=None):
+    """Build the daemon's (obs_xyz [N,3], obs_sdf [N]) -> z [L] hook.
+
+    With `encoder` (models/encoder.LatentEncoder) + `enc_params` +
+    `enc_moments` (the checkpoint's (mu, sigma) — the encoder predicts
+    NORMALIZED codes): the amortized one-shot prediction (~12-27 ms),
+    optionally refined by `refine_steps` of latent optimization
+    warm-started at the encoder output. Without an encoder: plain
+    latent optimization (reconstruct.reconstruct_latent) with `rcfg`
+    (ReconstructConfig).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        ReconstructConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.encoder import (
+        encode_latent)
+    from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
+        reconstruct_latent)
+    rcfg = rcfg or ReconstructConfig()
+
+    def fn(obs_xyz, obs_sdf):
+        ox = jnp.asarray(obs_xyz, jnp.float32)
+        od = jnp.asarray(obs_sdf, jnp.float32)
+        z0 = None
+        if encoder is not None:
+            mu, sigma = enc_moments
+            z0 = encode_latent(encoder, enc_params, ox, od, mu, sigma)
+            if refine_steps <= 0:
+                return np.asarray(z0)
+        steps = refine_steps if (encoder is not None
+                                 and refine_steps > 0) else rcfg.num_steps
+        from dataclasses import replace as _replace
+        z, _ = reconstruct_latent(
+            decoder, params, ox, od,
+            _replace(rcfg, num_steps=steps),
+            key=jax.random.PRNGKey(rcfg.seed), z_init=z0)
+        return np.asarray(z)
+
+    return fn
+
+
 def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
                     poll: float = 0.5, mesh_format: str = "ply",
                     max_idle: Optional[float] = None,
+                    reconstruct_fn=None,
                     **serve_kw) -> int:
-    """Long-running serving daemon: watch `in_dir` for latent `.npy`
-    files ([L] or [N, L]), decode each through serve_meshes, write
-    meshes + a stats sidecar under `out_dir`, and rename the input to
-    `<name>.npy.done`. One request file = one serve_meshes batch, so
-    the device pipelining and threaded host meshing apply per request.
+    """Long-running serving daemon: watch `in_dir` for request files,
+    decode each through serve_meshes, write meshes + a stats sidecar
+    under `out_dir`, and rename the input to `<name>.done`. One request
+    file = one serve_meshes batch, so the device pipelining and
+    threaded host meshing apply per request.
+
+    Request types:
+      - ``*.npy``: latents, [L] or [N, L] — the generation service.
+      - ``*.npz`` with ``obs_xyz``/``obs_sdf`` arrays ([N,3]/[N] or
+        batched [B,N,3]/[B,N]): OBSERVATIONS of unseen shapes, served
+        as reconstructions via `reconstruct_fn` ((xyz, sdf) -> z; build
+        one with `make_obs_reconstruct_fn` — amortized encoder one-shot
+        + optional latent-opt refinement). An observation request
+        without a reconstruct_fn quarantines with an explanatory error
+        sidecar; an ``*.npz`` carrying a ``z`` array is served as
+        latents.
 
     Stop conditions: a file named ``STOP`` in `in_dir` (consumed and
     removed), or `max_idle` seconds without new work (None = run until
@@ -392,7 +449,8 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
             stop.unlink()
             break
         reqs = []
-        for p in sorted(in_dir.glob("*.npy")):
+        for p in sorted(list(in_dir.glob("*.npy"))
+                        + list(in_dir.glob("*.npz"))):
             try:
                 st = p.stat()
             except FileNotFoundError:
@@ -428,7 +486,36 @@ def watch_and_serve(apply_fn, in_dir, out_dir, res: int = 256,
                 if (st2.st_size, st2.st_mtime_ns) == pickup_sig:
                     req.rename(req.with_suffix(req.suffix + suffix))
             try:
-                zs = np.asarray(np.load(req), np.float32)
+                if req.suffix == ".npz":
+                    with np.load(req) as d:
+                        if "obs_xyz" in d.files and "obs_sdf" in d.files:
+                            if reconstruct_fn is None:
+                                raise ValueError(
+                                    "observation request but this "
+                                    "daemon has no reconstruct_fn "
+                                    "(serve-daemon --with-encoder / "
+                                    "make_obs_reconstruct_fn)")
+                            ox = np.asarray(d["obs_xyz"], np.float32)
+                            od = np.asarray(d["obs_sdf"], np.float32)
+                            if ox.ndim == 2:
+                                ox, od = ox[None], od[None]
+                            if ox.ndim != 3 or od.ndim != 2:
+                                raise ValueError(
+                                    f"obs must be [N,3]/[N] or "
+                                    f"[B,N,3]/[B,N], got {ox.shape}/"
+                                    f"{od.shape}")
+                            zs = np.stack([
+                                np.asarray(reconstruct_fn(ox[i], od[i]),
+                                           np.float32)
+                                for i in range(ox.shape[0])])
+                        elif "z" in d.files:
+                            zs = np.asarray(d["z"], np.float32)
+                        else:
+                            raise ValueError(
+                                "npz request needs obs_xyz/obs_sdf "
+                                f"(or z); has {d.files}")
+                else:
+                    zs = np.asarray(np.load(req), np.float32)
                 zs = zs[None] if zs.ndim == 1 else zs
                 if zs.ndim != 2:
                     raise ValueError(f"latents must be [L] or [N, L], "
