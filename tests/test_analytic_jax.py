@@ -82,3 +82,71 @@ def test_bank_matches_host_bank_distribution(chairs):
         host_frac = (d >= 0).mean()
         dev_frac = float(bank.pos_count[i]) / 4096.0
         assert abs(host_frac - dev_frac) < 0.05, (host_frac, dev_frac)
+
+
+# ------------------------------------------------------- generic CSG pack
+
+
+def test_csg_sdf_matches_host_oracle_all_families():
+    """pack_csg + csg_sdf == analytic.sdf for every classes13 family
+    (fp32 tolerance), including union-of-primitives chairs and
+    difference CSG trees."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.data.analytic_jax \
+        import csg_sdf, pack_csg
+    shapes = analytic.make_synthetic_split("classes13", 39, seed=11)
+    packed = pack_csg(shapes)
+    rng = np.random.default_rng(0)
+    p = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+    for i, s in enumerate(shapes):
+        single = type(packed)(*(a[i] for a in packed))
+        got = np.asarray(csg_sdf(single, jnp.asarray(p)))
+        want = analytic.sdf(s, p)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5), i
+
+
+def test_csg_apply_flat_roundtrip():
+    from latent_diffusion_models_for_shape_sdfs_tpu.data.analytic_jax \
+        import csg_apply_flat, csg_sdf, pack_csg
+    shapes = analytic.make_synthetic_split("classes13", 13, seed=3)
+    packed = pack_csg(shapes)
+    flat = packed.flat()
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.uniform(-1, 1, (256, 3)).astype(np.float32))
+    for i in range(len(shapes)):
+        single = type(packed)(*(a[i] for a in packed))
+        np.testing.assert_allclose(
+            np.asarray(csg_apply_flat(flat[i], p)),
+            np.asarray(csg_sdf(single, p)), atol=1e-6)
+
+
+def test_csg_grads_finite():
+    from latent_diffusion_models_for_shape_sdfs_tpu.data.analytic_jax \
+        import csg_sdf, pack_csg
+    shapes = analytic.make_synthetic_split("classes13", 13, seed=7)
+    packed = pack_csg(shapes)
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    for i in range(len(shapes)):
+        single = type(packed)(*(a[i] for a in packed))
+        g = jax.vmap(jax.grad(lambda pt: csg_sdf(single, pt)))(p)
+        assert np.isfinite(np.asarray(g)).all(), i
+
+
+def test_bank_from_csg_labels_exact():
+    """Multi-category device bank: stored sdf labels equal the host
+    oracle at the stored coordinates; sign split is consistent."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.data.analytic_jax \
+        import bank_from_csg
+    shapes = analytic.make_synthetic_split("classes13", 13, seed=13)
+    bank = bank_from_csg(shapes, jax.random.PRNGKey(0), 256)
+    for i, s in enumerate(shapes):
+        pc = int(bank.pos_count[i])
+        nc = int(bank.neg_count[i])
+        assert pc > 0 and nc > 0
+        rows_p = np.asarray(bank.pos[i][:pc])
+        rows_n = np.asarray(bank.neg[i][:nc])
+        np.testing.assert_allclose(analytic.sdf(s, rows_p[:, :3]),
+                                   rows_p[:, 3], atol=2e-5)
+        np.testing.assert_allclose(analytic.sdf(s, rows_n[:, :3]),
+                                   rows_n[:, 3], atol=2e-5)
+        assert (rows_n[:, 3] < 0).all() or nc == 256
