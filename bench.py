@@ -40,6 +40,30 @@ def fence_time(fn, *args, iters=3, **kw):
     return (time.perf_counter() - t0) / iters, out
 
 
+# bf16 MXU peak per chip, by device_kind prefix (the MFU denominator;
+# all hot GEMMs in this repo run bf16 inputs with f32 accumulation)
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e public spec: 197 bf16 TFLOP/s/chip
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,        # v5p
+}
+
+
+def _peak_flops(device_kind: str) -> float:
+    for k, v in _PEAK_BF16.items():
+        if device_kind.startswith(k):
+            return v
+    return 197e12  # conservative default (v5e)
+
+
+def _decoder_fwd_flops_per_point(decoder) -> float:
+    """Analytic MACs*2 of one SDF query through the folded MLP: the
+    compiler cost model cannot see inside pallas custom calls, so the
+    fused kernels' MFU uses this closed-form count (the XLA-path
+    cost_analysis cross-check is recorded alongside)."""
+    return float(sum(2 * i * o for i, o, _ in decoder.layer_dims()))
+
+
 def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
         import enable_compilation_cache
@@ -68,9 +92,14 @@ def main():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
         make_pallas_apply)
 
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.profiling import (
+        cost_analysis)
+
     dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.device_kind})")
-    details = {"device": str(dev.device_kind)}
+    peak = _peak_flops(dev.device_kind)
+    log(f"device: {dev} ({dev.device_kind}), bf16 peak {peak:.3g} FLOP/s")
+    details = {"device": str(dev.device_kind),
+               "peak_bf16_flops_per_sec": peak}
 
     # Warm the device<->host streams once: in this sandbox the FIRST d2h
     # transfer pays a multi-minute channel-init penalty that must not
@@ -153,6 +182,29 @@ def main():
     details["dense_evals_per_sec"] = dense_rate
     details["dense_256_seconds"] = dt
     log(f"dense 256^3: {dt:.3f}s -> {dense_rate:.3e} true evals/s")
+
+    # ---- MFU accounting for the fused eval kernel (BASELINE.md harness
+    # spec): analytic forward FLOPs/point (the compiler cost model is
+    # blind inside the pallas custom call — its near-zero count is
+    # recorded as evidence of that) + an XLA-path cost_analysis
+    # cross-check of the same math.
+    fpp = _decoder_fwd_flops_per_point(decoder)
+    details["decoder_fwd_flops_per_point"] = fpp
+    details["dense_256_analytic_flops"] = fpp * res ** 3
+    details["dense_256_flops_per_sec"] = fpp * dense_rate
+    details["dense_256_mfu_bf16"] = fpp * dense_rate / peak
+    pts_ca = jnp.zeros((1_048_576, 3), jnp.float32)
+    ca_xla = cost_analysis(lambda zz, pp: apply_xla(zz, pp), z0, pts_ca)
+    ca_pal = cost_analysis(lambda zz, pp: apply_fast(zz, pp), z0, pts_ca)
+    details["eval_1m_cost_analysis_flops_xla"] = ca_xla.get("flops", 0.0)
+    details["eval_1m_cost_analysis_flops_pallas"] = ca_pal.get("flops",
+                                                               0.0)
+    details["eval_1m_analytic_flops"] = fpp * 1_048_576
+    log(f"eval MFU: dense fused kernel {fpp * dense_rate:.3e} FLOP/s = "
+        f"{100 * fpp * dense_rate / peak:.1f}% of bf16 peak "
+        f"(analytic {fpp:.0f} FLOPs/pt; cost_analysis xla "
+        f"{ca_xla.get('flops', 0):.3g} vs pallas "
+        f"{ca_pal.get('flops', 0):.3g} for 1M pts)")
 
     # ---------------- two-level hierarchical decode (effective rates)
     # Fully on-device single compiled programs; grids stay device-resident.
@@ -253,6 +305,55 @@ def main():
     log(f"hier3 batch16 256^3 (safety3=2): {dt_b * 1e3:.1f}ms -> "
         f"{eff_b:.3e} eff voxels/s ({dt_b / 16 * 1e3:.1f} ms/shape)")
 
+    # the literal BASELINE config-4 unit (64 shapes/step), both ways:
+    # 4x16 streamed through the same compiled batch16 program, and one
+    # 64-batch program if its ~2.1 GiB of bf16 block grids fit HBM
+    # (VERDICT r3 missing #4)
+    t0 = time.perf_counter()
+    for i in range(4):
+        gb, _ = decode_grid_hierarchical3_batch(
+            apply_fast, zb_perts[i], 256, 16, 4, 2, ac1, ac2, ac3,
+            safety=1.2, safety3=2.0, out_dtype="bfloat16",
+            check_overflow=False)
+    jax.block_until_ready(gb)
+    dt_s64 = time.perf_counter() - t0
+    details["hier3_stream4x16_256_seconds"] = dt_s64
+    details["hier3_stream4x16_256_effective_voxels_per_sec"] = \
+        64 * 256 ** 3 / dt_s64
+    log(f"hier3 64-shape step as 4x16 stream: {dt_s64 * 1e3:.0f}ms -> "
+        f"{64 * 256 ** 3 / dt_s64:.3e} eff voxels/s "
+        f"({dt_s64 / 64 * 1e3:.1f} ms/shape)")
+    try:
+        z64 = [jax.block_until_ready(
+            jnp.broadcast_to(z0, (64,) + z0.shape) + 1e-6 * (i + 1))
+            for i in range(3)]
+        g64, st64 = decode_grid_hierarchical3_batch(
+            apply_fast, z64[0], 256, 16, 4, 2, ac1, ac2, ac3,
+            safety=1.2, safety3=2.0, out_dtype="bfloat16",
+            check_overflow=True)
+        assert not st64["capacity_exceeded"], st64
+        t0 = time.perf_counter()
+        for i in range(1, 3):
+            g64, _ = decode_grid_hierarchical3_batch(
+                apply_fast, z64[i], 256, 16, 4, 2, ac1, ac2, ac3,
+                safety=1.2, safety3=2.0, out_dtype="bfloat16",
+                check_overflow=False)
+        jax.block_until_ready(g64)
+        dt_64 = (time.perf_counter() - t0) / 2
+        details["hier3_batch64_256_seconds"] = dt_64
+        details["hier3_batch64_256_effective_voxels_per_sec"] = \
+            64 * 256 ** 3 / dt_64
+        log(f"hier3 batch64 256^3: {dt_64 * 1e3:.0f}ms -> "
+            f"{64 * 256 ** 3 / dt_64:.3e} eff voxels/s "
+            f"({dt_64 / 64 * 1e3:.1f} ms/shape)")
+        del g64, z64
+    except Exception as e:  # HBM OOM: the streamed form above is the
+        # production carrier; record why the single program is absent
+        details["hier3_batch64_256_error"] = f"{type(e).__name__}: " \
+                                             f"{str(e)[:200]}"
+        log(f"hier3 batch64 256^3: not runnable ({type(e).__name__}) — "
+            f"streamed 4x16 is the 64/step carrier")
+
     # ---------------- end-to-end mesh serving: latents -> sparse payload
     # d2h -> host reconstruct -> native C++ marching cubes. The compact
     # v2 payload (near-surface rows only, int8 sign-preserving values,
@@ -306,6 +407,34 @@ def main():
     log(f"serve e2e 256^3 int4: {dt4 * 1e3:.0f} ms/mesh "
         f"({pay4 // n4 / 2 ** 20:.2f} MiB payload, d2h wait "
         f"{t_d2h4 / n4 * 1e3:.0f} ms)")
+
+    # ---------------- 512^3 serving (VERDICT r3 weak #5: previously
+    # measured only in SCALE.md, invisible to the round-over-round
+    # BENCH_r*.json capture). Same protocol at the 8x higher resolution;
+    # note the bench shape is the overfit sphere — SCALE.md's 741 ms was
+    # trained chairs with ~4x the surface verts.
+    next(iter(serve_meshes(apply_fast, zsrv[:1], res=512)))  # compile
+    t0 = time.perf_counter()
+    n5 = pay5 = nv5 = 0
+    t_d2h5 = t_mesh5 = 0.0
+    for v, fcs, stt in serve_meshes(apply_fast, zsrv[1:6], res=512):
+        n5 += 1
+        nv5 += len(v)
+        pay5 += stt["payload_bytes"]
+        t_d2h5 += stt["t_d2h_wait_s"]
+        t_mesh5 += stt["t_mesh_s"]
+    dt_e5 = (time.perf_counter() - t0) / n5
+    details["serve_512_meshes_per_sec"] = 1.0 / dt_e5
+    details["serve_512_ms_per_mesh"] = dt_e5 * 1e3
+    details["serve_512_payload_bytes_per_shape"] = pay5 // n5
+    details["serve_512_verts_per_mesh"] = nv5 // n5
+    details["serve_512_d2h_wait_s_per_shape"] = t_d2h5 / n5
+    details["serve_512_host_mesh_s_per_shape"] = t_mesh5 / n5
+    log(f"serve e2e 512^3: {dt_e5 * 1e3:.0f} ms/mesh -> "
+        f"{1 / dt_e5:.2f} meshes/s ({pay5 // n5 / 2 ** 20:.1f} MiB "
+        f"payload, {nv5 // n5} verts; d2h wait "
+        f"{t_d2h5 / n5 * 1e3:.0f} ms, host mesh "
+        f"{t_mesh5 / n5 * 1e3:.0f} ms)")
     del zsrv
 
     eff_rate = max(eff_256, eff_512, eff_b)
@@ -383,6 +512,25 @@ def main():
     log(f"train fused-pallas kernel: {dt_pk * 1e3:.1f} ms/step -> "
         f"{1 / dt_pk:.2f} steps/s ({S * P / dt_pk:.3e} pairs/s)")
 
+    # ---- train-step MFU: fwd+bwd GEMM work is 3x the forward MACs
+    # (fwd, dL/dinput, dL/dW), dropout/loss/optimizer are O(width) noise.
+    # Analytic count for the fused kernel (cost model is blind inside
+    # the custom call); fp32 XLA step cost_analysis recorded as the
+    # sanity cross-check of the same canonical batch.
+    train_flops = 3.0 * fpp * S * P
+    details["train_step_analytic_flops"] = train_flops
+    details["train_fused_pallas_flops_per_sec"] = train_flops / dt_pk
+    details["train_fused_pallas_mfu_bf16"] = train_flops / dt_pk / peak
+    step_fp32_ca = make_ad_train_step(decoder, cfg, jit=False)
+    ca_tr = cost_analysis(step_fp32_ca, state64, ids, xyz, sdf, ep,
+                          jax.random.PRNGKey(9))
+    details["train_step_cost_analysis_flops_fp32"] = ca_tr.get("flops",
+                                                               0.0)
+    log(f"train MFU: fused kernel {train_flops / dt_pk:.3e} FLOP/s = "
+        f"{100 * train_flops / dt_pk / peak:.1f}% of bf16 peak "
+        f"(analytic {train_flops:.3g} FLOPs/step; fp32 XLA "
+        f"cost_analysis {ca_tr.get('flops', 0):.3g})")
+
     # ---------------- DDIM-50 samples/sec
     ncfg = DenoiserConfig()
     den = LatentDenoiserMLP(ncfg)
@@ -415,6 +563,18 @@ def main():
     details["ddim50_samples_per_sec"] = B / dt_d
     details["ddim50_batch"] = B
     details["ddim50_loop_avgs_ms"] = [a * 1e3 for a in loop_avgs]
+    # DDIM is a pure-XLA scan: the compiler cost model sees the whole
+    # program, so cost_analysis IS the FLOP count here (no analytic
+    # stand-in needed).
+    ca_dd = cost_analysis(lambda k: ddim_sample(fn, sch, k, B, 256,
+                                                steps=50), keys[0])
+    details["ddim50_cost_analysis_flops"] = ca_dd.get("flops", 0.0)
+    details["ddim50_flops_per_sec"] = ca_dd.get("flops", 0.0) / dt_d
+    details["ddim50_mfu_bf16"] = ca_dd.get("flops", 0.0) / dt_d / peak
+    log(f"ddim-50 MFU: {ca_dd.get('flops', 0.0) / dt_d:.3e} FLOP/s = "
+        f"{100 * ca_dd.get('flops', 0.0) / dt_d / peak:.2f}% of bf16 "
+        f"peak (cost_analysis {ca_dd.get('flops', 0):.3g} FLOPs/batch; "
+        f"an elementwise-dominated 256-wide scan, not a GEMM workload)")
     log(f"ddim-50: {dt_d * 1e3:.1f} ms/batch({B}) -> "
         f"{B / dt_d:.1f} samples/s (loop avgs "
         f"{[round(a * 1e3, 1) for a in loop_avgs]})")
@@ -475,15 +635,19 @@ def main():
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
+    # Headline leads with the north star's OWN resolution (BASELINE
+    # target: >= 1e9 effective voxels/s at 256^3); the higher 512^3 and
+    # batched rates ride in the metric string + details instead of
+    # inflating the headline (VERDICT r3 weak #6).
     print(json.dumps({
-        "metric": "SDF decode effective voxels/sec/chip (three-level "
-                  "hierarchical near-surface decode; best of 256^3 single/"
-                  "batched and 512^3 — full breakdown incl. dense-eval "
-                  "rate, train steps/sec, DDIM-50 rate in "
-                  "bench_details.json)",
-        "value": eff_rate,
+        "metric": "SDF decode effective voxels/sec/chip at 256^3 "
+                  "(three-level hierarchical near-surface decode, "
+                  "single shape — the BASELINE north-star config; "
+                  f"512^3 runs {eff_512:.3g}, 64-shape serving stream "
+                  "+ MFU/cost-analysis breakdown in bench_details.json)",
+        "value": eff_256,
         "unit": "voxels/sec/chip",
-        "vs_baseline": eff_rate / 1e9,
+        "vs_baseline": eff_256 / 1e9,
     }))
 
 
