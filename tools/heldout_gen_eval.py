@@ -1,0 +1,318 @@
+"""Held-out-reference generative evaluation at n=256/side (VERDICT r3 #2).
+
+Every round-3 MMD/COV/1-NNA number compared 64 DDIM samples against 64
+decoded TRAINING shapes — which cannot distinguish "matches the
+distribution" from "memorizes the latent table", and n=64 puts
+~±0.04-class noise on every 1-NNA digit. This tool closes both gaps on
+the saved 6k-chair checkpoint (runs/scale_chairs6k):
+
+Reference sets, 256 shapes each, under TWO protocols:
+  decoded protocol (headline, matches round 3's artifact-floor fix):
+    - train_dec:    256 training shapes decoded from their TRAINED codes
+    - heldout_dec:  256 NEVER-TRAINED chairs (fresh analytic split,
+                    seed 9001) reconstructed by latent optimization
+                    (8k observations, best-of-2 inits) then decoded
+                    through the identical 96^3 -> MC -> 2048-pt pipeline
+    - control: train_dec_B (a DISJOINT 256 training shapes, decoded) vs
+      heldout_dec — both sides are decoder outputs of real chairs, so
+      1-NNA ~= 0.5 here certifies the heldout-ref construction is
+      protocol-matched (reconstruction noise is not separable)
+  gridMC protocol (decoder-free cross-check): the analytic SDF of the
+    same shape sets evaluated through the same hierarchical 96^3 decode
+    + marching cubes + surface sampling — shares grid/MC artifacts but
+    NOT decoder artifacts.
+
+The memorization question is answered by the SAME-PROTOCOL difference:
+1-NNA(gen, train_dec) vs 1-NNA(gen, heldout_dec). If samples sat closer
+to specific training shapes than fresh draws from the same analytic
+family, the train row would be significantly lower ("too close" to
+train refs). n=256/side -> binomial s.e. on 1-NNA is
+sqrt(p(1-p)/512) ~= 0.022; the JSON carries the ±1.96 s.e. interval.
+
+Ref-fidelity accounting: median Chamfer between each decoded set and
+its own gridMC twin (train fit error vs heldout reconstruction error) —
+if the two medians are close, the decoded-protocol comparison is
+apples-to-apples.
+
+Metrics: Chamfer rows at 2048 pts/cloud; EMD (device Sinkhorn, host
+exact-assignment fallback ladder in tools/metrics_run.py) at 1024
+pts/cloud (EMD cost is quadratic in points; the subsample is applied to
+every EMD row identically, so rankings are unaffected).
+
+Writes runs/scale_chairs6k/heldout_gen_eval.json.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/heldout_gen_eval.py
+(the TPU must be otherwise idle; ~45-70 min, reconstruction-dominated).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+OUT = ROOT / "runs" / "scale_chairs6k"
+N_TRAIN = 6144
+N_SIDE = 256
+N_GEN_DRAW = 280          # decode a few extra so 256 non-empty survive
+RES = 96                  # same decode resolution as the scale-run protocol
+PTS = 2048
+EMD_PTS = 1024
+HELDOUT_SEED = 9001       # training split used seed=0; params are
+                          # continuous draws, so distinct seeds are
+                          # disjoint shape sets w.p. 1
+RECON_OBS = 8000
+RECON_STEPS = 1200
+RECON_INITS = 2
+
+
+def _nna_ci(p: float, n_per_side: int) -> list:
+    se = float(np.sqrt(max(p * (1 - p), 1e-9) / (2 * n_per_side)))
+    return [round(p - 1.96 * se, 4), round(p + 1.96 * se, 4)]
+
+
+def main():
+    global N_SIDE, N_GEN_DRAW, RES, RECON_STEPS, RECON_INITS, RECON_OBS
+    smoke = "--smoke" in sys.argv  # plumbing check: tiny N, CPU-runnable
+    if smoke:
+        N_SIDE, N_GEN_DRAW, RES = 6, 8, 48
+        RECON_STEPS, RECON_INITS, RECON_OBS = 30, 1, 2000
+    outdir = pathlib.Path("/tmp/heldout_smoke") if smoke else OUT
+    outdir.mkdir(parents=True, exist_ok=True)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
+        import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from latent_diffusion_models_for_shape_sdfs_tpu.config import (
+        DecoderConfig, DiffConfig, DenoiserConfig, ReconstructConfig)
+    from latent_diffusion_models_for_shape_sdfs_tpu.data import (
+        analytic, analytic_jax)
+    from latent_diffusion_models_for_shape_sdfs_tpu.diffusion import (
+        DiffusionSchedule, ddim_sample)
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        chamfer_l2, sample_mesh_surface)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import (
+        SdfDecoder)
+    from latent_diffusion_models_for_shape_sdfs_tpu.models.denoiser import (
+        CondDenoiser)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_adaptive)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.isosurface import (
+        extract_mesh)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.reconstruct import (
+        reconstruct_latent)
+    from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion import (
+        init_diff_state, unnormalize_codes)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        StageCheckpointer)
+    sys.path.insert(0, str(ROOT / "tools"))
+    import scale_run as _sr
+
+    np.asarray(jnp.ones(8))  # channel warm-up before any timing
+    t_all = time.time()
+    report = {"n_side": N_SIDE, "res": RES, "pts": PTS,
+              "emd_pts": EMD_PTS, "heldout_seed": HELDOUT_SEED,
+              "recon": {"obs": RECON_OBS, "steps": RECON_STEPS,
+                        "inits": RECON_INITS}}
+
+    # ---------------- checkpoints
+    decoder = SdfDecoder(DecoderConfig())
+    tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
+            "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
+    ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
+    state = ck.restore(tmpl)
+    ck.close()
+    params, codes = state["params"], state["codes"]
+    apply_fn = make_pallas_apply(decoder, params)
+
+    dcfg = DiffConfig(denoiser=DenoiserConfig(**_sr.DIFF_DENOISER),
+                      timesteps=1000)
+    dmodel = CondDenoiser(dcfg.denoiser)
+    tmpl_d = init_diff_state(dcfg, dmodel, jax.random.PRNGKey(0))
+    dck = StageCheckpointer(OUT, "diff", max_to_keep=1)
+    drest = dck.restore({"params": tmpl_d.params, "ema": tmpl_d.ema_params,
+                         "mu": jnp.zeros(256), "sigma": jnp.zeros(256)})
+    dck.close()
+    mu, sigma, ema = drest["mu"], drest["sigma"], drest["ema"]
+    sch = DiffusionSchedule.create(dcfg.timesteps)
+    denoise_fn = lambda z, t: dmodel.apply({"params": ema}, z, t)
+
+    def decode_cloud(z, seed):
+        grid = decode_grid_adaptive(apply_fn, jnp.asarray(z), RES)
+        v, f = extract_mesh(grid)
+        if len(f) < 50:
+            return None
+        return sample_mesh_surface(v, f, PTS, seed=seed)
+
+    # ---------------- generated set
+    t0 = time.time()
+    zg = unnormalize_codes(
+        ddim_sample(denoise_fn, sch, jax.random.PRNGKey(4711), N_GEN_DRAW,
+                    256, steps=50), mu, sigma)
+    gen, n_empty = [], 0
+    for i in range(N_GEN_DRAW):
+        c = decode_cloud(zg[i], 300_000 + i)
+        if c is None:
+            n_empty += 1
+        else:
+            gen.append(c)
+        if len(gen) == N_SIDE:
+            break
+    report["gen_empty_in_draw"] = n_empty
+    report["gen_count"] = len(gen)
+    print(f"gen: {len(gen)} clouds ({n_empty} empty) "
+          f"in {time.time()-t0:.0f}s", flush=True)
+
+    # ---------------- training reference sets (A headline, B control)
+    train_shapes = analytic.make_synthetic_split("chair", N_TRAIN, seed=0)
+    idx = np.random.default_rng(31).choice(N_TRAIN, 2 * N_SIDE,
+                                           replace=False)
+    idx_a, idx_b = idx[:N_SIDE], idx[N_SIDE:]
+    t0 = time.time()
+    train_dec = [decode_cloud(codes[j], 400_000 + j) for j in idx_a]
+    train_dec_b = [decode_cloud(codes[j], 430_000 + j) for j in idx_b]
+    assert all(c is not None for c in train_dec + train_dec_b), \
+        "a trained code decoded empty — investigate before trusting refs"
+    print(f"train decoded refs in {time.time()-t0:.0f}s", flush=True)
+
+    # gridMC twins: the analytic SDF through the SAME hierarchical
+    # decode + MC + sampling (decoder-free protocol). The 40 chair
+    # parameters ride in the `z` slot of the ApplyFn contract so ONE
+    # compiled program serves all 768 shapes (a per-shape closure
+    # constant would recompile per shape).
+    def chair_apply(z, pts):
+        p = analytic_jax.ChairParams(
+            box_b=z[0:6].reshape(2, 3), box_c=z[6:12].reshape(2, 3),
+            cap_a=z[12:24].reshape(4, 3), cap_b=z[24:36].reshape(4, 3),
+            cap_r=z[36:40])
+        return analytic_jax.chair_sdf(p, pts)
+
+    def gridmc_cloud(shape, seed):
+        p1 = analytic_jax.pack_chairs([shape])
+        zp = jnp.concatenate([jnp.asarray(a[0], jnp.float32).reshape(-1)
+                              for a in p1])
+        grid = decode_grid_adaptive(chair_apply, zp, RES)
+        v, f = extract_mesh(grid)
+        assert len(f) >= 50, "analytic chair meshed empty?!"
+        return sample_mesh_surface(v, f, PTS, seed=seed)
+
+    t0 = time.time()
+    train_gmc = [gridmc_cloud(train_shapes[j], 500_000 + j) for j in idx_a]
+    train_gmc_b = [gridmc_cloud(train_shapes[j], 530_000 + j)
+                   for j in idx_b]
+    held_shapes = analytic.make_synthetic_split("chair", N_SIDE,
+                                                seed=HELDOUT_SEED)
+    held_gmc = [gridmc_cloud(s, 560_000 + i)
+                for i, s in enumerate(held_shapes)]
+    print(f"gridMC refs in {time.time()-t0:.0f}s", flush=True)
+
+    # ---------------- held-out decoded refs: latent-opt reconstruction
+    rcfg = ReconstructConfig(num_steps=RECON_STEPS, num_inits=RECON_INITS)
+    t0 = time.time()
+    held_dec, recon_l1 = [], []
+    for i, shape in enumerate(held_shapes):
+        rng = np.random.default_rng(7000 + i)
+        ox, od = analytic.sample_sdf_points(shape, RECON_OBS, rng,
+                                            surface_frac=0.95)
+        z, info = reconstruct_latent(decoder, params, jnp.asarray(ox),
+                                     jnp.asarray(od), rcfg,
+                                     key=jax.random.PRNGKey(9100 + i))
+        recon_l1.append(float(info["loss_last"]))
+        c = decode_cloud(z, 600_000 + i)
+        assert c is not None, f"held-out recon {i} decoded empty"
+        held_dec.append(c)
+        if i % 32 == 0:
+            print(f"  recon {i}/{N_SIDE} ({time.time()-t0:.0f}s)",
+                  flush=True)
+    report["recon_seconds"] = time.time() - t0
+    report["recon_l1_median"] = float(np.median(recon_l1))
+    print(f"held-out decoded refs in {report['recon_seconds']:.0f}s",
+          flush=True)
+
+    # ---------------- ref-fidelity accounting (protocol match evidence)
+    fit_train = [chamfer_l2(a, b) for a, b in zip(train_dec, train_gmc)]
+    fit_held = [chamfer_l2(a, b) for a, b in zip(held_dec, held_gmc)]
+    report["ref_fidelity"] = {
+        "train_fit_chamfer_median": float(np.median(fit_train)),
+        "heldout_recon_chamfer_median": float(np.median(fit_held)),
+    }
+    print("ref fidelity:", report["ref_fidelity"], flush=True)
+
+    n = min(len(gen), N_SIDE)
+    gen = gen[:n]
+
+    np.savez_compressed(
+        outdir / "heldout_gen_clouds.npz", gen=np.stack(gen),
+        train_dec=np.stack(train_dec), train_dec_b=np.stack(train_dec_b),
+        held_dec=np.stack(held_dec), train_gmc=np.stack(train_gmc),
+        train_gmc_b=np.stack(train_gmc_b), held_gmc=np.stack(held_gmc))
+
+    # ---------------- metric rows: device MXU chamfer at 2048 pts with
+    # a 32x32 host KD-tree oracle cross-check per row; device Sinkhorn
+    # EMD at 1024-pt subsampled clouds (quadratic cost) with the host
+    # exact-assignment fallback ladder from tools/metrics_run.py
+    from latent_diffusion_models_for_shape_sdfs_tpu.evaluation import (
+        evaluate_generated, evaluate_generated_device,
+        evaluate_generated_emd_host)
+
+    def row(a, b, name, emd=True):
+        t1 = time.time()
+        m = min(len(a), len(b))
+        aa, bb = a[:m], b[:m]
+        out = evaluate_generated_device(aa, bb, metrics=("chamfer",),
+                                        chunk=8)
+        host32 = evaluate_generated(aa[:32], bb[:32])
+        dev32 = evaluate_generated_device(aa[:32], bb[:32],
+                                          metrics=("chamfer",))
+        assert abs(host32["mmd_chamfer"] - dev32["mmd_chamfer"]) < 5e-4, \
+            (name, host32, dev32)
+        out["chamfer_source"] = "device MXU (32x32 host-oracle-checked)"
+        if emd:
+            try:
+                out.update(evaluate_generated_device(
+                    [c[:EMD_PTS] for c in aa],
+                    [c[:EMD_PTS] for c in bb], metrics=("emd",), chunk=8))
+                out["emd_source"] = ("device Sinkhorn (eps=0.01, 200 "
+                                     f"iters), {EMD_PTS}-pt clouds")
+            except Exception as e:  # device fault: host exact fallback
+                out.update(evaluate_generated_emd_host(aa, bb,
+                                                       points=512))
+                out["emd_source"] = (f"host exact fallback "
+                                     f"({type(e).__name__})")
+        out["n_per_side"] = m
+        if "one_nna" in out:
+            out["one_nna_ci95"] = _nna_ci(out["one_nna"], m)
+        out["seconds"] = round(time.time() - t1, 1)
+        report.setdefault("rows", {})[name] = out
+        print(name, json.dumps(out, default=float), flush=True)
+        (outdir / "heldout_gen_eval.json").write_text(
+            json.dumps(report, indent=2, default=float))
+
+    row(gen, train_dec, "gen_vs_train_decoded")
+    row(gen, held_dec, "gen_vs_heldout_decoded")
+    row(train_dec_b, held_dec, "control_traindecB_vs_heldout_decoded")
+    row(gen, train_gmc, "gen_vs_train_gridmc", emd=False)
+    row(gen, held_gmc, "gen_vs_heldout_gridmc", emd=False)
+    row(train_gmc_b, held_gmc, "control_traingmcB_vs_heldout_gridmc",
+        emd=False)
+
+    # ---------------- verdict line
+    r = report["rows"]
+    gap_dec = (r["gen_vs_heldout_decoded"]["one_nna"]
+               - r["gen_vs_train_decoded"]["one_nna"])
+    se2 = 1.96 * np.sqrt(2 * 0.25 / (2 * n))   # conservative joint s.e.
+    report["train_vs_heldout_gap_1nna_decoded"] = round(float(gap_dec), 4)
+    report["gap_significant"] = bool(abs(gap_dec) > se2)
+    report["total_seconds"] = time.time() - t_all
+    (outdir / "heldout_gen_eval.json").write_text(
+        json.dumps(report, indent=2, default=float))
+    print("DONE", json.dumps({k: v for k, v in report.items()
+                              if k != "rows"}, default=float), flush=True)
+
+
+if __name__ == "__main__":
+    main()
