@@ -291,6 +291,13 @@ def main():
         clouds, empty = decode_clouds(zc, 10_000 + c * N_GEN)
         gen_by_class[c] = clouds
         m = min(len(clouds), len(ref_by_class[c]))
+        if m == 0:   # every sample decoded empty (a real model failure
+            # for this class — record it, don't crash the battery)
+            per_class[c] = {"one_nna": 1.0, "coverage": 0.0,
+                            "mmd_chamfer": float("inf"),
+                            "empty": empty, "n": 0}
+            print(f"class {c}: ALL {N_GEN} samples empty", flush=True)
+            continue
         row = evaluate_generated_device(clouds[:m], ref_by_class[c][:m],
                                         metrics=("chamfer",), chunk=8)
         row["empty"] = empty
