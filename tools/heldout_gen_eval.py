@@ -123,9 +123,9 @@ def main():
     decoder = SdfDecoder(DecoderConfig())
     tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
             "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
-    ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
-    state = ck.restore(tmpl)
-    ck.close()
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        restore_stage1)
+    state = restore_stage1(OUT, tmpl)  # orbax first, stage1_pack.npz else
     params, codes = state["params"], state["codes"]
     apply_fn = make_pallas_apply(decoder, params)
 

@@ -121,15 +121,19 @@ def main():
     reuse_env = os.environ.get("MULTICAT6K_REUSE", "1") == "1"
 
     # ---------------- stage 1 (device CSG bank + fused-Pallas training)
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        pack_tree_npz, restore_stage1)
     decoder = SdfDecoder(DecoderConfig())
     ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
-    reuse_ad = (reuse_env and ck.latest_step() is not None
+    reuse_ad = (reuse_env
+                and (ck.latest_step() is not None
+                     or (OUT / "stage1_pack.npz").exists())
                 and report_path.exists())
+    ck.close()
     if reuse_ad:
         tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
                 "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
-        st = ck.restore(tmpl)
-        ck.close()
+        st = restore_stage1(OUT, tmpl)
         params, codes = st["params"], st["codes"]
         prev = json.loads(report_path.read_text())
         for k in ("bank_seconds", "bank_bytes", "ad_final_l1",
@@ -167,8 +171,12 @@ def main():
         print(f"stage1: l1={report['ad_final_l1']:.4f} in {t_ad:.0f}s "
               f"({steps / t_ad:.1f} steps/s)", flush=True)
         del bank
+        ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
         ck.save(EPOCHS, {"params": state.params, "codes": state.codes})
         ck.close()
+        # git-persistable twin of the orbax tree (see tools/scale_run.py)
+        pack_tree_npz(OUT / "stage1_pack.npz",
+                      {"params": state.params, "codes": state.codes})
         params, codes = state.params, state.codes
         report_path.write_text(json.dumps(report, indent=2,
                                           default=float))
@@ -370,8 +378,10 @@ def main():
             "identity_ok": ok, "empty": empties,
             "mmd_own_median": float(np.median(mmds)) if mmds else None,
             "seconds": round(time.time() - t0, 1)}
+        mm = sweep[str(scale)]["mmd_own_median"]
         print(f"cfg {scale}: identity {ok}/{N_CLASSES}, "
-              f"mmd_own median {sweep[str(scale)]['mmd_own_median']:.2e},"
+              f"mmd_own median "
+              f"{'n/a (all empty)' if mm is None else format(mm, '.2e')},"
               f" {empties} empty", flush=True)
     report["cfg_sweep"] = sweep
     report_path.write_text(json.dumps(report, indent=2, default=float))
@@ -409,7 +419,9 @@ def write_multicat_md(report: dict) -> None:
     cov = [round(pc[c]["coverage"], 2) for c in sorted(pc, key=int)]
     sweep_lines = [
         f"  - CFG {s}: identity {v['identity_ok']}/13, own-class MMD "
-        f"median {v['mmd_own_median']:.2e}, {v['empty']} empty"
+        f"median "
+        f"{'n/a (all empty)' if v['mmd_own_median'] is None else format(v['mmd_own_median'], '.2e')}"  # noqa: E501
+        f", {v['empty']} empty"
         for s, v in report["cfg_sweep"].items()]
     md = [
         "# MULTICAT — BASELINE config 5 at spec scale "

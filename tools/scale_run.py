@@ -90,18 +90,22 @@ def main():
     # iteration costs minutes instead of re-burning ~20 min of stage-1;
     # disable with SCALE_REUSE_AD=0). The stage-1-derived report fields
     # carry over from the previous report.json.
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
+        pack_tree_npz, restore_stage1)
     ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
+    have_stage1 = (ck.latest_step() is not None
+                   or (OUT / "stage1_pack.npz").exists())
     reuse = (os.environ.get("SCALE_REUSE_AD", "1") == "1"
-             and ck.latest_step() is not None
+             and have_stage1
              and (OUT / "report.json").exists())
+    ck.close()
     if reuse:
         from latent_diffusion_models_for_shape_sdfs_tpu.models.decoder import (  # noqa: E501
             SdfDecoder)
         decoder = SdfDecoder(DecoderConfig())
         tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
                 "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
-        st = ck.restore(tmpl)
-        ck.close()
+        st = restore_stage1(OUT, tmpl)
         params, codes = st["params"], st["codes"]
         prev = json.loads((OUT / "report.json").read_text())
         for k in ("bank_seconds", "bank_bytes", "ad_epochs", "ad_steps",
@@ -144,8 +148,14 @@ def main():
         print(f"stage1: l1={report['ad_final_l1']:.4f} in {t_ad:.0f}s "
               f"({report['ad_steps_per_sec']:.1f} steps/s)", flush=True)
         del bank
+        ck = StageCheckpointer(OUT, "ad", max_to_keep=1)
         ck.save(EPOCHS, {"params": state.params, "codes": state.codes})
         ck.close()
+        # git-persistable twin (runs/ pack survives the sandbox; the
+        # orbax tree does not) — lets later rounds' evaluation tools
+        # skip the ~20 min stage-1 retrain entirely
+        pack_tree_npz(OUT / "stage1_pack.npz",
+                      {"params": state.params, "codes": state.codes})
         params, codes = state.params, state.codes
 
     apply_fn = make_pallas_apply(decoder, params)
