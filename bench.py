@@ -354,6 +354,107 @@ def main():
         log(f"hier3 batch64 256^3: not runnable ({type(e).__name__}) — "
             f"streamed 4x16 is the 64/step carrier")
 
+    # ---------------- HETEROGENEOUS batched decode: 64 *different*
+    # trained chairs (the literal BASELINE config-4 situation — the
+    # broadcast-z rows above are the best case for the vmapped path
+    # because every shape has identical active counts). Latents + decoder
+    # come from the committed 6k-scale stage-1 pack. Two programs
+    # measured on the same batch:
+    #   vmapped path: every shape pays the batch-max caps (+25%);
+    #   flat path (decode_grid_hierarchical3_batch_flat): active blocks
+    #     compacted ACROSS shapes via the per-point-latent pairs kernel,
+    #     so the padded work tracks the batch SUM (+25%).
+    try:
+        import pathlib
+        from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint \
+            import restore_tree_npz
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+            decode_grid_hierarchical3_batch_flat, probe_flat_caps)
+        from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels \
+            import make_pallas_apply_pairs
+        pack = pathlib.Path(__file__).parent / "runs" / "scale_chairs6k" \
+            / "stage1_pack.npz"
+        tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
+                "codes": jnp.zeros((6144, 256), jnp.float32)}
+        st6k = restore_tree_npz(pack, tmpl)
+        p6k, codes6k = st6k["params"], jnp.asarray(st6k["codes"])
+        apply_het = make_pallas_apply(decoder, p6k)
+        pairs_het = make_pallas_apply_pairs(decoder, p6k)
+        zhet = jax.block_until_ready(codes6k[::96][:64])  # 64 chairs
+        zhet_b = [jax.block_until_ready(zhet + 1e-6 * (i + 1))
+                  for i in range(4)]
+
+        # vmapped reference on the same 64 chairs: caps = measured
+        # batch-max +25% (the policy the vmap path forces on every shape)
+        _, stp = decode_grid_hierarchical3_batch(
+            apply_het, zhet, 256, 16, 4, 2, (256 // 16) ** 3,
+            256 ** 2 // 2, 2 * 256 ** 2, safety=1.2, safety3=2.0,
+            out_dtype="bfloat16", check_overflow=True)
+        assert not stp["capacity_exceeded"], stp
+        vc = [-(-int(1.25 * int(np.max(stp[k]))) // 128) * 128
+              for k in ("active_l1", "active_l2", "active_l3")]
+        details["hier3_vmap64het_256_caps"] = vc
+        g, _ = decode_grid_hierarchical3_batch(
+            apply_het, zhet_b[0], 256, 16, 4, 2, *vc, safety=1.2,
+            safety3=2.0, out_dtype="bfloat16", check_overflow=False)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for i in range(1, 4):
+            g, _ = decode_grid_hierarchical3_batch(
+                apply_het, zhet_b[i], 256, 16, 4, 2, *vc, safety=1.2,
+                safety3=2.0, out_dtype="bfloat16", check_overflow=False)
+        jax.block_until_ready(g)
+        dt_v = (time.perf_counter() - t0) / 3
+        del g
+        details["hier3_vmap64het_256_seconds"] = dt_v
+        details["hier3_vmap64het_256_effective_voxels_per_sec"] = \
+            64 * 256 ** 3 / dt_v
+        log(f"hier3 vmap 64-chair het 256^3: {dt_v * 1e3:.0f}ms -> "
+            f"{64 * 256 ** 3 / dt_v:.3e} eff voxels/s "
+            f"(caps {vc}, per-shape max l3 {int(np.max(stp['active_l3']))}"
+            f" vs mean {float(np.mean(stp['active_l3'])):.0f})")
+
+        # flat path: global caps = measured batch-sum +25%
+        zhet16 = zhet.astype(jnp.bfloat16)
+        fc = probe_flat_caps(pairs_het, zhet16, 256, safety=1.2,
+                             safety3=2.0)
+        details["hier3_flat64het_256_caps"] = list(fc)
+        zflat_b = [jax.block_until_ready(
+            (zhet + 1e-6 * (i + 1)).astype(jnp.bfloat16))
+            for i in range(4)]
+        g, stf = decode_grid_hierarchical3_batch_flat(
+            pairs_het, zflat_b[0], 256, 16, 4, 2, *fc, safety=1.2,
+            safety3=2.0, out_dtype="bfloat16", check_overflow=True)
+        assert not stf["capacity_exceeded"], stf
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for i in range(1, 4):
+            g, _ = decode_grid_hierarchical3_batch_flat(
+                pairs_het, zflat_b[i], 256, 16, 4, 2, *fc, safety=1.2,
+                safety3=2.0, out_dtype="bfloat16", check_overflow=False)
+        jax.block_until_ready(g)
+        dt_f = (time.perf_counter() - t0) / 3
+        del g
+        details["hier3_flat64het_256_seconds"] = dt_f
+        details["hier3_flat64het_256_effective_voxels_per_sec"] = \
+            64 * 256 ** 3 / dt_f
+        details["hier3_flat64het_256_stats"] = {
+            k: int(v) for k, v in stf.items()
+            if k in ("active_l1", "active_l2", "active_l3",
+                     "cap1", "cap2", "cap3", "fine_evals")}
+        log(f"hier3 FLAT 64-chair het 256^3: {dt_f * 1e3:.0f}ms -> "
+            f"{64 * 256 ** 3 / dt_f:.3e} eff voxels/s "
+            f"(global caps {list(fc)}; {dt_v / dt_f:.2f}x vs vmap)")
+        del zhet_b, zflat_b
+    except FileNotFoundError:
+        log("heterogeneous batched decode: stage1_pack.npz absent — "
+            "skipped (run tools/scale_run.py)")
+        details["hier3_het_error"] = "stage1_pack.npz absent"
+    except Exception as e:
+        details["hier3_het_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        log(f"heterogeneous batched decode failed: {type(e).__name__}: "
+            f"{str(e)[:160]}")
+
     # ---------------- end-to-end mesh serving: latents -> sparse payload
     # d2h -> host reconstruct -> native C++ marching cubes. The compact
     # v2 payload (near-surface rows only, int8 sign-preserving values,

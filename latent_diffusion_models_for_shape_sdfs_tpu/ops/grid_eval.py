@@ -949,6 +949,278 @@ def decode_grid_hierarchical3_batch(apply_fn: ApplyFn, zs: jnp.ndarray,
     return grids, stats
 
 
+# ------------------------------------------------ flattened batched decode
+#
+# The vmapped batched decodes above make every shape pay the BATCH-MAX
+# capacity at each level: for a heterogeneous batch (the real BASELINE
+# config-4 case — 64 *different* shapes per step) that wastes
+# (max/mean - 1) of the fine-eval FLOPs, the dominant cost. The
+# flattened variant compacts the active blocks of ALL shapes into ONE
+# global work list per level (ids carry the shape via shape-major flat
+# indexing), so total work is ~ sum(active) + one shared headroom pad
+# instead of S * max(active). It needs an evaluator that accepts a
+# DIFFERENT latent per point — ops.pallas_kernels.make_pallas_apply_pairs
+# (or the XLA oracle ops.fused_decoder.fast_apply with z rows).
+
+PairsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _eval_pairs_grouped(pairs_fn: PairsFn, zs: jnp.ndarray,
+                        sids: jnp.ndarray, xyz: jnp.ndarray,
+                        points_per_group: int = 1 << 19) -> jnp.ndarray:
+    """pairs_fn over (zs[sids], xyz) in bounded-memory groups.
+
+    The latent rows are gathered PER GROUP, so the peak HBM transient is
+    group * (L*itemsize + 12) bytes instead of the full N-point latent
+    matrix — at batch-64 256^3 fine level (~5.4M points) that is
+    ~270 MB versus ~2.9 GB materialized up front. zs is gathered in its
+    OWN dtype (pass bf16 codes on the production path — the Pallas
+    pairs kernel computes in bf16 anyway; fp32 keeps the XLA oracle
+    path exact for parity tests).
+    """
+    n = xyz.shape[0]
+    zsb = zs
+    if n <= points_per_group:
+        return pairs_fn(jnp.take(zsb, sids, axis=0), xyz)
+    ngroups = math.ceil(n / points_per_group)
+    group = math.ceil(n / ngroups)
+    pad = ngroups * group - n
+    sids_p = jnp.pad(sids, (0, pad), mode="edge").reshape(ngroups, group)
+    xyz_p = jnp.pad(xyz, ((0, pad), (0, 0)),
+                    mode="edge").reshape(ngroups, group, 3)
+
+    def eval_group(args):
+        s, x = args
+        return pairs_fn(jnp.take(zsb, s, axis=0), x)
+
+    out = jax.lax.map(eval_group, (sids_p, xyz_p))
+    return out.reshape(ngroups * group)[:n]
+
+
+def _fill_cascade_gather_flat(c1: jnp.ndarray, c2: jnp.ndarray,
+                              idx1: jnp.ndarray, valid1: jnp.ndarray,
+                              S: int, nb1: int, nb2: int, r1: int,
+                              cap1: int) -> jnp.ndarray:
+    """Shape-major flat twin of ``_fill_cascade_gather``: [S*nb2^3].
+
+    Works because the shape-major flat b1 id ((s*nb1 + x1)*nb1 + y1)*nb1
+    + z1 factors s into the leading transpose axis, and nb2 = nb1*r1
+    makes (s*nb1 + x1)*r1 + ox == s*nb2 + sx — the child ids stay within
+    their shape's segment by construction.
+    """
+    inv1 = jnp.full((S * nb1 ** 3,), cap1, jnp.int32).at[
+        jnp.where(valid1, idx1, S * nb1 ** 3)].set(
+        jnp.arange(cap1, dtype=jnp.int32), mode="drop")
+    c2_pad = jnp.concatenate([c2, jnp.zeros((1, r1 ** 3), c2.dtype)], 0)
+    rows = c2_pad[jnp.minimum(inv1, cap1)]            # [S*nb1^3, r1^3]
+    rows = jnp.where((inv1 < cap1)[:, None], rows, c1[:, None])
+    rows = rows.reshape(S * nb1, nb1, nb1, r1, r1, r1)
+    return rows.transpose(0, 3, 1, 4, 2, 5).reshape(S * nb2 ** 3)
+
+
+@partial(jax.jit,
+         static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+def _decode_flat_impl(pairs_fn: PairsFn, zs: jnp.ndarray, S: int,
+                      res: int, b1: int, b2: int, b3: int, cap1: int,
+                      cap2: int, cap3: int, safety: float,
+                      safety3: float, out_dtype: str,
+                      points_per_group: int = 1 << 19):
+    """Jitted body of the flat batched decode: ONE compiled program per
+    (caps, res, dtype) config — the per-level compaction, index math,
+    and assembly all fuse on device instead of dispatching eagerly
+    (which over the axon relay would cost a host round-trip per op)."""
+    r1 = b1 // b2
+    r2 = b2 // b3
+    nb1, nb2, nb3 = res // b1, res // b2, res // b3
+    cap1 = min(cap1, S * nb1 ** 3)
+    cap2 = min(cap2, cap1 * r1 ** 3)
+    cap3 = min(cap3, cap2 * r2 ** 3)
+    h = 2.0 / (res - 1)
+    tau1 = safety * (b1 * h * math.sqrt(3.0) / 2.0)
+    tau2 = safety * (b2 * h * math.sqrt(3.0) / 2.0)
+    tau3 = (safety3 or safety) * (b3 * h * math.sqrt(3.0) / 2.0)
+
+    def compact(mask, cap):
+        n = mask.shape[0]
+        npos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        pos = jnp.where(mask, npos, cap)
+        ids = jnp.zeros((cap,), jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        n_active = npos[-1] + 1
+        valid = jnp.arange(cap) < n_active
+        return ids, valid, n_active, jnp.where(mask, npos, cap)
+
+    # ---- L0: every shape's b1-block centers (uniform, no imbalance)
+    flat = jnp.arange(nb1 ** 3, dtype=jnp.int32)
+    ijk = jnp.stack([flat // (nb1 * nb1), (flat // nb1) % nb1,
+                     flat % nb1], -1).astype(jnp.float32)
+    xyz_c = (ijk * b1 + (b1 - 1) / 2.0) * h - 1.0
+    sid0 = jnp.repeat(jnp.arange(S, dtype=jnp.int32), nb1 ** 3)
+    c1 = _eval_pairs_grouped(pairs_fn, zs, sid0,
+                             jnp.tile(xyz_c, (S, 1)), points_per_group)
+    mask1 = jnp.abs(c1) <= tau1                         # [S*nb1^3]
+    idx1, valid1, n1, _ = compact(mask1, cap1)
+
+    # ---- L1: b2 sub-centers of selected parents (global ids)
+    s1 = idx1 // nb1 ** 3
+    l1 = idx1 % nb1 ** 3
+    x1, y1, z1 = (l1 // (nb1 * nb1), (l1 // nb1) % nb1, l1 % nb1)
+    off = jnp.arange(r1 ** 3, dtype=jnp.int32)
+    ox, oy, oz = off // (r1 * r1), (off // r1) % r1, off % r1
+    sx = x1[:, None] * r1 + ox[None, :]
+    sy = y1[:, None] * r1 + oy[None, :]
+    sz = z1[:, None] * r1 + oz[None, :]
+    sub_ids = s1[:, None] * nb2 ** 3 + (sx * nb2 + sy) * nb2 + sz
+    cidx = jnp.stack([sx, sy, sz], -1).astype(jnp.float32) * b2 \
+        + (b2 - 1) / 2.0
+    c2 = _eval_pairs_grouped(
+        pairs_fn, zs, jnp.repeat(s1, r1 ** 3),
+        (cidx * h - 1.0).reshape(cap1 * r1 ** 3, 3),
+        points_per_group).reshape(cap1, r1 ** 3)
+    act2 = (jnp.abs(c2) <= tau2) & valid1[:, None]
+    sel2, valid2, n2, _ = compact(act2.reshape(-1), cap2)
+    ids2 = sub_ids.reshape(-1)[sel2].astype(jnp.int32)  # global b2 ids
+
+    # ---- L2: b3 sub-centers of selected b2 blocks
+    s2 = ids2 // nb2 ** 3
+    l2 = ids2 % nb2 ** 3
+    x2, y2, z2 = (l2 // (nb2 * nb2), (l2 // nb2) % nb2, l2 % nb2)
+    off3 = jnp.arange(r2 ** 3, dtype=jnp.int32)
+    px, py, pz = off3 // (r2 * r2), (off3 // r2) % r2, off3 % r2
+    tx = x2[:, None] * r2 + px[None, :]
+    ty = y2[:, None] * r2 + py[None, :]
+    tz = z2[:, None] * r2 + pz[None, :]
+    sub3_ids = s2[:, None] * nb3 ** 3 + (tx * nb3 + ty) * nb3 + tz
+    c3idx = jnp.stack([tx, ty, tz], -1).astype(jnp.float32) * b3 \
+        + (b3 - 1) / 2.0
+    c3 = _eval_pairs_grouped(
+        pairs_fn, zs, jnp.repeat(s2, r2 ** 3),
+        (c3idx * h - 1.0).reshape(cap2 * r2 ** 3, 3),
+        points_per_group).reshape(cap2, r2 ** 3)
+    act3 = (jnp.abs(c3) <= tau3) & valid2[:, None]
+    sel3, valid3, n3, slot_rank = compact(act3.reshape(-1), cap3)
+    ids3 = sub3_ids.reshape(-1)[sel3].astype(jnp.int32)  # global b3 ids
+
+    # ---- L3: fine voxels of selected b3 blocks
+    sid3 = ids3 // nb3 ** 3
+    vals3 = _eval_pairs_grouped(
+        pairs_fn, zs, jnp.repeat(sid3, b3 ** 3),
+        _block_points(ids3 % nb3 ** 3, res, b3).reshape(cap3 * b3 ** 3, 3),
+        points_per_group).reshape(cap3, b3 ** 3)
+
+    # ---- compose 64-wide b2 rows (identical to the single-shape impl)
+    inv_slot = slot_rank.reshape(cap2, r2 ** 3)
+    vals3_pad = jnp.concatenate(
+        [vals3, jnp.zeros((1, b3 ** 3), vals3.dtype)], axis=0)
+    picked = vals3_pad[jnp.minimum(inv_slot, cap3)]
+    vals2 = jnp.where((inv_slot < cap3)[..., None], picked, c3[..., None])
+    vals2 = vals2.reshape(cap2, r2, r2, r2, b3, b3, b3)
+    vals2 = vals2.transpose(0, 1, 4, 2, 5, 3, 6).reshape(cap2, b2 ** 3)
+
+    if out_dtype == "int8":
+        def conv(v):
+            q = jnp.clip(jnp.round(v * (127.0 / tau2)), -127.0, 127.0)
+            q = jnp.where((q == 0.0) & (v != 0.0), jnp.sign(v), q)
+            return q.astype(jnp.int8)
+    else:
+        dt = jnp.dtype(out_dtype)
+        conv = (lambda v: v.astype(dt)) if dt != jnp.float32 \
+            else (lambda v: v)
+
+    fill2 = _fill_cascade_gather_flat(c1, c2, idx1, valid1, S, nb1, nb2,
+                                      r1, cap1)
+    vals2, fill2 = conv(vals2), conv(fill2)
+    # block-layout assembly over the S*nb2^3 global block axis
+    inv2 = jnp.full((S * nb2 ** 3,), cap2, jnp.int32).at[
+        jnp.where(valid2, ids2, S * nb2 ** 3)].set(
+        jnp.arange(cap2, dtype=jnp.int32), mode="drop")
+    vals2_pad = jnp.concatenate(
+        [vals2, jnp.zeros((1, b2 ** 3), vals2.dtype)], axis=0)
+    grids = jnp.where((inv2 < cap2)[:, None],
+                      vals2_pad[jnp.minimum(inv2, cap2)],
+                      fill2[:, None]).reshape(S, nb2 ** 3, b2 ** 3)
+
+    per_shape_l1 = mask1.reshape(S, nb1 ** 3).sum(1)
+    return grids, n1, n2, n3, per_shape_l1
+
+
+def decode_grid_hierarchical3_batch_flat(
+        pairs_fn: PairsFn, zs: jnp.ndarray, res: int, b1: int = 16,
+        b2: int = 4, b3: int = 2, cap1: int = 16384, cap2: int = 147456,
+        cap3: int = 393216, safety: float = 1.2, safety3: float = 2.0,
+        out_dtype: str = "float32", check_overflow: bool = True,
+        points_per_group: int = 1 << 19):
+    """Flattened three-level batched decode: work ~ sum of actives.
+
+    caps are GLOBAL totals across the batch (use ``probe_flat_caps``).
+    Returns (grids [S, (res/b2)^3, b2^3] block layout, stats). Selection
+    thresholds, fill semantics, and the sign-exactness argument are
+    identical to ``_decode_grid_hier3_impl`` (same taus per level); only
+    the compaction domain changes from one shape to the whole batch, so
+    the crossing-integrity story carries over per shape. With
+    ``check_overflow=False`` nothing syncs to host — the returned stats
+    hold traced actives and the call pipelines like the vmapped path.
+    """
+    S = int(zs.shape[0])
+    assert res % b1 == 0 and b1 % b2 == 0 and b2 % b3 == 0
+    r1, r2 = b1 // b2, b2 // b3
+    nb1 = res // b1
+    cap1 = min(cap1, S * nb1 ** 3)
+    cap2 = min(cap2, cap1 * r1 ** 3)
+    cap3 = min(cap3, cap2 * r2 ** 3)
+    grids, n1, n2, n3, per_shape_l1 = _decode_flat_impl(
+        pairs_fn, zs, S, res, b1, b2, b3, cap1, cap2, cap3,
+        float(safety), float(safety3), out_dtype, points_per_group)
+    stats = {
+        "layout": "block",
+        "coarse_evals": S * nb1 ** 3,
+        "mid_evals": cap1 * r1 ** 3,
+        "sub_evals": cap2 * r2 ** 3,
+        "fine_evals": cap3 * b3 ** 3,
+        "active_l1": n1, "active_l2": n2, "active_l3": n3,
+        "cap1": cap1, "cap2": cap2, "cap3": cap3,
+        "effective_voxels": S * res ** 3,
+    }
+    if check_overflow:
+        stats["active_l1"] = int(n1)
+        stats["active_l2"] = int(n2)
+        stats["active_l3"] = int(n3)
+        stats["per_shape_l1"] = np.asarray(per_shape_l1)
+        stats["capacity_exceeded"] = (stats["active_l1"] > cap1
+                                      or stats["active_l2"] > cap2
+                                      or stats["active_l3"] > cap3)
+    return grids, stats
+
+
+def probe_flat_caps(pairs_fn: PairsFn, zs: jnp.ndarray, res: int,
+                    safety: float = 1.2, safety3: float = 2.0,
+                    headroom: float = 1.25) -> tuple:
+    """Measured-active+headroom GLOBAL caps for the flat batched decode.
+
+    The flat twin of ``probe_bench_caps``: one generous-cap flat decode
+    measures the batch's true per-level totals at the production
+    margins; caps = round_up(headroom * total, 512). This is what makes
+    heterogeneous batches cheap — the headroom multiplies the SUM of
+    actives, not S times the max.
+    """
+    S = int(zs.shape[0])
+    nb1 = res // 16
+    # bf16 grids: only the stats matter here, and a generous-cap batch-64
+    # probe at 256^3 would otherwise hold a 4.3 GB f32 grid block
+    _, st = decode_grid_hierarchical3_batch_flat(
+        pairs_fn, zs, res, 16, 4, 2, S * nb1 ** 3,
+        S * res ** 2 // 2, S * 2 * res ** 2, safety=safety,
+        safety3=safety3, out_dtype="bfloat16", check_overflow=True)
+    assert not st["capacity_exceeded"], st
+
+    def rnd(n):
+        return -(-int(headroom * n) // 512) * 512
+
+    return (rnd(st["active_l1"]), rnd(st["active_l2"]),
+            rnd(st["active_l3"]))
+
+
 def probe_bench_caps(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
                      safety: float = 1.1, safety3: float = 0.0,
                      headroom: float = 1.25) -> tuple:

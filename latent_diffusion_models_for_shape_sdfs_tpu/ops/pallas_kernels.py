@@ -157,6 +157,132 @@ def make_pallas_apply(decoder: SdfDecoder, params: dict,
     return apply_fn
 
 
+# ------------------------------------------------ fused MLP eval (pairs)
+
+
+def _build_pairs_kernel(ew: EvalWeights, tile: int):
+    """Kernel body for the PER-POINT-LATENT eval variant.
+
+    Ref order: xyzT tile [8, tile], z tile [tile, L], then per layer:
+    [w_h?], [w_x?, w_z?], bias row, then the output tile. Unlike
+    ``_build_eval_kernel`` nothing is hoisted per shape — the latent
+    GEMM (z_tile @ w_z) runs per tile, which costs ~2*L*H extra FLOPs
+    per point at each latent-consuming layer (~+14% for the canonical
+    8x512/L=256 plan) but lets ONE compiled program evaluate points
+    belonging to arbitrary different shapes (the flattened batched
+    decode, ops.grid_eval.decode_grid_hierarchical3_batch_flat).
+    """
+    n_layers = len(ew.layers)
+    assert tile % 1024 == 0, "tile must be a multiple of 8*128"
+
+    def kernel(*refs):
+        xyzT = refs[0][...].astype(jnp.bfloat16)       # [8, tile]
+        zt = refs[1][...]                              # [tile, L] bf16
+        r = 2
+        h = None
+        for i, lay in enumerate(ew.layers):
+            acc = None
+            if lay.w_h is not None:
+                w_h = refs[r][...]
+                r += 1
+                acc = jax.lax.dot_general(
+                    h, w_h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if lay.w_z is not None:
+                w_x = refs[r][...]
+                r += 1
+                w_z = refs[r][...]
+                r += 1
+                xterm = jax.lax.dot_general(
+                    xyzT, w_x, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                zterm = jax.lax.dot_general(
+                    zt, w_z, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = (xterm + zterm) if acc is None \
+                    else acc + xterm + zterm
+            acc = acc + refs[r][...]                    # [1, H] bias row
+            r += 1
+            if i < n_layers - 1:
+                h = jnp.maximum(acc, 0.0).astype(jnp.bfloat16)
+            else:
+                out = acc
+        if ew.use_tanh:
+            out = jnp.tanh(out)
+        refs[r][...] = out[:, 0].reshape(8, tile // 8)
+
+    return kernel
+
+
+def make_pallas_apply_pairs(decoder: SdfDecoder, params: dict,
+                            tile: int = 2048,
+                            interpret: bool | None = None) -> Callable:
+    """(z_rows [N, L], xyz [N, 3]) -> sdf [N]: multi-shape fused eval.
+
+    The pairs twin of ``make_pallas_apply``: each query point carries its
+    OWN latent row (typically an XLA gather ``codes[shape_id]`` fused
+    into the feeding program), so one compiled kernel can serve a
+    work list that mixes shapes — the enabler for the flattened batched
+    decode where per-level active blocks are compacted ACROSS the batch
+    instead of each shape paying the batch-max capacity. Oracle:
+    ``ops.fused_decoder.fast_apply`` broadcasts over leading z dims.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    ew = precompute_eval_weights(decoder, params, jnp.bfloat16)
+    L = ew.latent_size
+    kernel = _build_pairs_kernel(ew, tile)
+
+    fixed_inputs = []
+    fixed_specs = []
+    for lay in ew.layers:
+        if lay.w_h is not None:
+            fixed_inputs.append(lay.w_h)
+            fixed_specs.append(pl.BlockSpec(lay.w_h.shape,
+                                            lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM))
+        if lay.w_z is not None:
+            w_x = jnp.pad(lay.w_x, ((0, 8 - lay.w_x.shape[0]), (0, 0)))
+            fixed_inputs.append(w_x)
+            fixed_specs.append(pl.BlockSpec(w_x.shape, lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM))
+            fixed_inputs.append(lay.w_z)
+            fixed_specs.append(pl.BlockSpec(lay.w_z.shape,
+                                            lambda i: (0, 0),
+                                            memory_space=pltpu.VMEM))
+        fixed_inputs.append(lay.b[None, :].astype(jnp.float32))
+        fixed_specs.append(pl.BlockSpec((1, lay.b.shape[0]),
+                                        lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+
+    def pairs_fn(z_rows: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
+        n = xyz.shape[0]
+        assert z_rows.shape == (n, L), (z_rows.shape, n, L)
+        npad = max(tile, ((n + tile - 1) // tile) * tile)
+        ntiles = npad // tile
+        xyzT = jnp.zeros((8, npad), jnp.float32)
+        xyzT = xyzT.at[:3, :n].set(xyz.astype(jnp.float32).T)
+        zp = jnp.zeros((npad, L), jnp.bfloat16)
+        zp = zp.at[:n].set(z_rows.astype(jnp.bfloat16))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec((8, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((tile, L), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] + fixed_specs,
+            out_specs=pl.BlockSpec((8, tile // 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ntiles * 8, tile // 8),
+                                           jnp.float32),
+            interpret=interpret,
+        )(xyzT, zp, *fixed_inputs)
+        return out.reshape(npad)[:n]
+
+    return pairs_fn
+
+
 # ------------------------------------------------------- relu + dropout
 
 

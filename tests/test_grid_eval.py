@@ -139,6 +139,75 @@ def test_hier3_batch_crossing_exact_vs_dense():
         assert np.all(np.sign(hier[far]) == np.sign(dense[far]))
 
 
+def _sphere_pairs_apply(zrows, xyz):
+    # pairs 'decoder': per-point latent rows [N, L]; heterogeneous
+    # radius (row 0) and center (rows 1:4) so per-shape active counts
+    # genuinely differ across the batch
+    return jnp.linalg.norm(xyz - zrows[:, 1:4], axis=-1) - zrows[:, 0]
+
+
+def _sphere_het_apply(z, xyz):
+    return jnp.linalg.norm(xyz - z[1:4], axis=-1) - z[0]
+
+
+def _het_zs(S=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(np.stack(
+        [np.concatenate([[0.25 + 0.3 * i / S], rng.uniform(-0.2, 0.2, 3)])
+         for i in range(S)]).astype(np.float32))
+
+
+def test_hier3_flat_matches_vmapped_batch():
+    """The flattened batched decode (global cross-shape compaction) must
+    reproduce the vmapped path's grids on a heterogeneous batch while
+    doing strictly fewer padded evaluations."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch, decode_grid_hierarchical3_batch_flat,
+        probe_flat_caps)
+    res, zs = 64, _het_zs()
+    gv, stv = decode_grid_hierarchical3_batch(
+        _sphere_het_apply, zs, res, 16, 4, 2, 64, 512, 4096, safety=1.2,
+        safety3=2.0, layout="block")
+    assert not stv["capacity_exceeded"], stv
+    c1, c2, c3 = probe_flat_caps(_sphere_pairs_apply, zs, res)
+    gf, stf = decode_grid_hierarchical3_batch_flat(
+        _sphere_pairs_apply, zs, res, 16, 4, 2, c1, c2, c3, safety=1.2,
+        safety3=2.0)
+    assert not stf["capacity_exceeded"], stf
+    # fp32 analytic evaluator -> same taus, same selections, same values
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gv), atol=1e-6)
+    # flat pads the SUM of actives (+25%), vmap pads S * max
+    assert stf["fine_evals"] < zs.shape[0] * stv["cap3"] * 8
+    # per-shape L1 actives reported for observability
+    assert int(np.sum(stf["per_shape_l1"])) == stf["active_l1"]
+
+
+def test_hier3_flat_int8_sign_pattern():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch_flat, probe_flat_caps)
+    res, zs = 32, _het_zs(3, seed=1)
+    c1, c2, c3 = probe_flat_caps(_sphere_pairs_apply, zs, res)
+    gf, _ = decode_grid_hierarchical3_batch_flat(
+        _sphere_pairs_apply, zs, res, 16, 4, 2, c1, c2, c3,
+        safety=1.2, safety3=2.0)
+    gq, _ = decode_grid_hierarchical3_batch_flat(
+        _sphere_pairs_apply, zs, res, 16, 4, 2, c1, c2, c3,
+        safety=1.2, safety3=2.0, out_dtype="int8")
+    f, q = np.asarray(gf), np.asarray(gq)
+    # sign-preserving quantization: identical crossing-relevant signs
+    assert np.array_equal(np.signbit(f), q < 0)
+
+
+def test_hier3_flat_overflow_detected():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch_flat)
+    res, zs = 32, _het_zs(3, seed=2)
+    _, st = decode_grid_hierarchical3_batch_flat(
+        _sphere_pairs_apply, zs, res, 16, 4, 2, 4, 16, 32,
+        safety=1.2, safety3=2.0)
+    assert st["capacity_exceeded"]
+
+
 def test_hier2_capacity_overflow_detected():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
         decode_grid_hierarchical2_device)

@@ -53,6 +53,58 @@ def test_fused_eval_kernel_tanh():
     np.testing.assert_allclose(pk, oracle, atol=5e-3)
 
 
+def _setup_pairs(cfg, seed=0, n=700):
+    dec = SdfDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    zr = jnp.asarray((rng.normal(size=(n, cfg.latent_size))
+                      / np.sqrt(cfg.latent_size)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
+    return dec, params, zr, xyz
+
+
+def test_pairs_eval_kernel_matches_bf16_oracle():
+    """Per-point-latent kernel vs fast_apply broadcast over z rows —
+    ragged tail included; the oracle broadcasts natively ([N,L],[N,3])."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.fused_decoder import (
+        precompute_eval_weights, fast_apply)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply_pairs)
+    cfg = DecoderConfig(latent_size=16, hidden_dim=128, num_layers=3,
+                        latent_in=(2,), use_dropout=False)
+    dec, params, zr, xyz = _setup_pairs(cfg, n=700)
+    ew = precompute_eval_weights(dec, params, jnp.bfloat16)
+    oracle = np.asarray(fast_apply(ew, zr, xyz))
+    pk = np.asarray(make_pallas_apply_pairs(dec, params, tile=1024)(zr, xyz))
+    np.testing.assert_allclose(pk, oracle, atol=5e-3)
+
+
+def test_pairs_eval_kernel_canonical_vs_exact():
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply_pairs)
+    cfg = DecoderConfig(use_dropout=False)
+    dec, params, zr, xyz = _setup_pairs(cfg, seed=1, n=2048 + 131)
+    # exact flax forward per point (per-point z rows ARE the contract)
+    exact = np.asarray(dec.apply({"params": params}, zr, xyz, train=False))
+    pk = np.asarray(make_pallas_apply_pairs(dec, params, tile=1024)(zr, xyz))
+    assert np.max(np.abs(pk - exact)) < 3e-2
+    assert np.mean(np.abs(pk - exact)) < 5e-3
+
+
+def test_pairs_eval_kernel_matches_hoisted_kernel_same_z():
+    """With every row equal to one latent, the pairs kernel and the
+    hoisted single-shape kernel compute the same function (bf16 class)."""
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels import (
+        make_pallas_apply_pairs)
+    cfg = DecoderConfig(latent_size=16, hidden_dim=128, num_layers=3,
+                        latent_in=(2,), use_dropout=False)
+    dec, params, z, xyz = _setup(cfg, seed=3, n=1500)
+    hoisted = np.asarray(make_pallas_apply(dec, params, tile=1024)(z, xyz))
+    zr = jnp.broadcast_to(z, (xyz.shape[0],) + z.shape)
+    pk = np.asarray(make_pallas_apply_pairs(dec, params, tile=1024)(zr, xyz))
+    np.testing.assert_allclose(pk, hoisted, atol=1e-2)
+
+
 def test_relu_dropout_statistics_and_determinism():
     x = jnp.ones((4096, 512), jnp.float32) * 2.0
     seed = jnp.asarray(42, jnp.int32)
