@@ -12,6 +12,8 @@ from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (  # noqa: 
     decode_grid_hierarchical,
     decode_grid_hierarchical_device,
     decode_grid_hierarchical3_sparse2,
+    decode_grid_hierarchical3_batch_flat,
+    probe_flat_caps,
     sparse2_to_grid,
     sparse2_fill2,
     hier3_int8_scale,

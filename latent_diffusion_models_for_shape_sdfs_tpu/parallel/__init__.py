@@ -7,4 +7,5 @@ from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (  # noqa: F4
     make_dp_ad_train_step,
     dp_ddim_sample,
     decode_points_sharded,
+    make_dp_pairs_fn,
 )

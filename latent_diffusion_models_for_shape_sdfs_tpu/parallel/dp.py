@@ -193,6 +193,37 @@ def decode_points_sharded(apply_fn, z: jnp.ndarray, xyz: jnp.ndarray,
     return make_decode_points_fn(apply_fn, mesh)(z, xyz)
 
 
+def make_dp_pairs_fn(pairs_fn, mesh: Mesh):
+    """(z_rows [N, L], xyz [N, 3]) -> [N], point axis sharded over the mesh.
+
+    The flat batched decode's evaluator under the device mesh: wrap the
+    per-point-latent evaluator (ops.pallas_kernels.make_pallas_apply_pairs
+    or its XLA oracle) in shard_map over the point axis and hand the
+    result to ops.grid_eval.decode_grid_hierarchical3_batch_flat — every
+    per-level eval of the globally-compacted work list then splits over
+    devices (each point's latent row rides along, so shapes mix freely
+    within a shard), while the selection/compaction bookkeeping stays
+    replicated (<1% of the FLOPs). Zero collectives: queries are
+    independent. Ragged N is padded up to the mesh size here, NOT by the
+    caller — the flat decode's group sizes are data-dependent.
+    """
+    axes = mesh.axis_names
+    n = mesh.size
+    run = jax.shard_map(lambda zr, pts: pairs_fn(zr, pts), mesh=mesh,
+                        in_specs=(P(axes), P(axes)), out_specs=P(axes),
+                        check_vma=False)  # pallas out_shapes have no vma
+
+    def dp_pairs(z_rows: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
+        N = xyz.shape[0]
+        pad = (-N) % n
+        if pad:
+            z_rows = jnp.pad(z_rows, ((0, pad), (0, 0)))
+            xyz = jnp.pad(xyz, ((0, pad), (0, 0)))
+        return run(z_rows, xyz)[:N]
+
+    return dp_pairs
+
+
 def make_dp_sparse_decode_fn(apply_fn, res: int, batch: int, mesh: Mesh,
                              caps: tuple, safety: float = 1.2,
                              safety3: float = 2.0,

@@ -294,6 +294,47 @@ _SCRIPT = textwrap.dedent("""
     assert np.isfinite(float(mp["loss"]))
     print("OK bank_dp")
 
+    # --- FLAT BATCHED DECODE under the mesh: the cross-shape-compacted
+    # batched decode (decode_grid_hierarchical3_batch_flat) driven by a
+    # point-sharded pairs evaluator (make_dp_pairs_fn) must reproduce the
+    # unsharded flat decode exactly — per-point evals are independent, so
+    # sharding the work list changes nothing. Runs BOTH the fp32 XLA
+    # oracle pairs fn and the fused Pallas pairs kernel (interpret mode).
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
+        decode_grid_hierarchical3_batch_flat, probe_flat_caps)
+    from latent_diffusion_models_for_shape_sdfs_tpu.ops.pallas_kernels \
+        import make_pallas_apply_pairs
+    from latent_diffusion_models_for_shape_sdfs_tpu.parallel.dp import (
+        make_dp_pairs_fn)
+
+    def sphere_pairs(zr, q):
+        return jnp.linalg.norm(q - zr[:, 1:4], axis=-1) - zr[:, 0]
+
+    rngf = np.random.default_rng(44)
+    zsf = jnp.asarray(np.stack(
+        [np.concatenate([[0.25 + 0.05 * i],
+                         rngf.uniform(-0.2, 0.2, 3)]).astype(np.float32)
+         for i in range(5)]))
+    fcaps = probe_flat_caps(sphere_pairs, zsf, 64)
+    gf_1d, st1 = decode_grid_hierarchical3_batch_flat(
+        sphere_pairs, zsf, 64, 16, 4, 2, *fcaps)
+    gf_dp, stdp = decode_grid_hierarchical3_batch_flat(
+        make_dp_pairs_fn(sphere_pairs, mesh), zsf, 64, 16, 4, 2, *fcaps)
+    assert not st1["capacity_exceeded"] and not stdp["capacity_exceeded"]
+    assert st1["active_l3"] == stdp["active_l3"]
+    np.testing.assert_array_equal(np.asarray(gf_dp), np.asarray(gf_1d))
+    pairs_k = make_pallas_apply_pairs(decoder, params, tile=1024)
+    zrows5 = 0.05 * jax.random.normal(jax.random.PRNGKey(33), (5, L))
+    # untrained decoder => near-flat SDF: give FULL caps (res=32: 5x8 l1
+    # / x64 l2 / x8 l3) so nothing overflows whatever the surface is
+    kcaps = (40, 2560, 20480)
+    gk_1d, _ = decode_grid_hierarchical3_batch_flat(
+        pairs_k, zrows5, 32, 16, 4, 2, *kcaps)
+    gk_dp, _ = decode_grid_hierarchical3_batch_flat(
+        make_dp_pairs_fn(pairs_k, mesh), zrows5, 32, 16, 4, 2, *kcaps)
+    np.testing.assert_array_equal(np.asarray(gk_dp), np.asarray(gk_1d))
+    print("OK flat_decode_dp")
+
     # --- driver contract
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -318,5 +359,5 @@ def test_dp_on_8_cpu_devices():
                    "OK grid_decode", "OK serve_sharded",
                    "OK mesh_2level", "OK pallas_train_dp",
                    "OK pallas_eval_dp", "OK bank_dp",
-                   "OK dryrun_multichip"):
+                   "OK flat_decode_dp", "OK dryrun_multichip"):
         assert marker in proc.stdout, (marker, proc.stdout, proc.stderr[-800:])
