@@ -520,6 +520,12 @@ def main(argv=None):
     s.set_defaults(fn=cmd_preprocess)
 
     args = p.parse_args(argv)
+    # single-writer discipline for the one-chip relay (no-op on
+    # CPU-pinned runs; reentrant under the pytest session's hold):
+    # acquired AFTER parsing so --help never contends
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die(f"ldm-sdf {args.cmd}")
     args.fn(args)
 
 

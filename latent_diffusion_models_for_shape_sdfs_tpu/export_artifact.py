@@ -152,8 +152,10 @@ class DecodeArtifact:
             _mesh_v2_payload)
         c1, c2, i1, v2, i2, n1, n2 = self._payload_checked(
             z, check_capacity)
-        return _mesh_v2_payload(c1, c2, i1, v2, i2, n1, n2, m["res"],
-                                iso, m.get("quant_scale"))
+        verts, faces, _mesher = _mesh_v2_payload(
+            c1, c2, i1, v2, i2, n1, n2, m["res"], iso,
+            m.get("quant_scale"))
+        return verts, faces
 
 
 def export_sampler_program(denoise_fn, schedule, num: int,

@@ -47,6 +47,16 @@ def _warm_device_channel():
     first touches the device. No-op (<1 s) on CPU and on warm relays."""
     import time
     import numpy as np
+
+    # Single-writer discipline for the one-chip relay: the whole pytest
+    # session holds the exclusive TPU lock (no-op on CPU-pinned runs;
+    # in-process CLI tests re-enter it — the lock is per-process
+    # reentrant). A busy chip fails the session NOW with a named holder
+    # instead of hanging both processes (CLAUDE.md; VERDICT r4 #1).
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_tpu_lock)
+    acquire_tpu_lock("pytest-session")  # held until process exit
+
     import jax
     import jax.numpy as jnp
 

@@ -17,6 +17,9 @@ OUT = ROOT / "runs" / "decode512"
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/decode_512_demo")  # one chip, one process
     import jax
     import jax.numpy as jnp
     from latent_diffusion_models_for_shape_sdfs_tpu.config import (

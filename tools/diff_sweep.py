@@ -76,6 +76,9 @@ def zca(codes: np.ndarray, eps: float = 1e-4):
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/diff_sweep")  # one chip, one process
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import (  # noqa: E501
         enable_compilation_cache)
     enable_compilation_cache()

@@ -32,6 +32,9 @@ DIFF_DENOISER = {"hidden_dim": 1024, "num_blocks": 6}
 
 
 def main(argv=None):
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/dpm_ab_eval")  # one chip, one process
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10,
                     help="DPM-Solver++(2M) denoiser calls")

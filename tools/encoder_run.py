@@ -32,6 +32,9 @@ HELD_N_OBS = 8000      # held-out arms' observation budget (matches arm A)
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/encoder_run")  # one chip, one process
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax

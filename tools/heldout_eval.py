@@ -30,6 +30,9 @@ N_TRAIN = 6144
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/heldout_eval")  # one chip, one process
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax

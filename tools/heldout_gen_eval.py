@@ -32,7 +32,22 @@ sqrt(p(1-p)/512) ~= 0.022; the JSON carries the ±1.96 s.e. interval.
 Ref-fidelity accounting: median Chamfer between each decoded set and
 its own gridMC twin (train fit error vs heldout reconstruction error) —
 if the two medians are close, the decoded-protocol comparison is
-apples-to-apples.
+apples-to-apples. This is now ASSERTED (train fit must not exceed 3x
+the heldout recon error): the round-4 run silently carried a 33x
+violation because this tool regenerated the "train" shapes with seed=0
+while the 6k training run (tools/scale_run.py:89) drew them with
+seed=11 — so every train-side shape<->code pair was two UNRELATED
+chairs and the "train fit" was random-pair Chamfer (1.05e-2). The
+decoded-protocol rows were unaffected (they use the actual trained
+codes / actual reconstructions); only train_gmc-derived rows and the
+fidelity check were wrong.
+
+`--reuse-clouds`: load every seed-determined cloud set from the saved
+heldout_gen_clouds.npz instead of recomputing it (the 49-min
+reconstruction phase is bit-identical on re-runs), rebuild ONLY the
+train-side gridMC twins (the sets the seed bug invalidated), and re-run
+all metric rows fresh. Carries recon/stage-2 provenance fields over
+from the existing JSON.
 
 Metrics: Chamfer rows at 2048 pts/cloud; EMD (device Sinkhorn, host
 exact-assignment fallback ladder in tools/metrics_run.py) at 1024
@@ -59,9 +74,13 @@ N_GEN_DRAW = 280          # decode a few extra so 256 non-empty survive
 RES = 96                  # same decode resolution as the scale-run protocol
 PTS = 2048
 EMD_PTS = 1024
-HELDOUT_SEED = 9001       # training split used seed=0; params are
-                          # continuous draws, so distinct seeds are
-                          # disjoint shape sets w.p. 1
+TRAIN_SEED = 11           # MUST match tools/scale_run.py:89 — the 6k
+                          # run drew its chairs with seed=11; pairing
+                          # codes[j] with a seed-0 shape j (round 4's
+                          # bug) makes the train-fit check random-pair
+                          # Chamfer (the 33x anomaly in VERDICT r4 #3)
+HELDOUT_SEED = 9001       # params are continuous draws, so distinct
+                          # seeds are disjoint shape sets w.p. 1
 RECON_OBS = 8000
 RECON_STEPS = 1200
 RECON_INITS = 2
@@ -73,13 +92,15 @@ def _nna_ci(p: float, n_per_side: int) -> list:
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/heldout_gen_eval")  # one chip, one process
     global N_SIDE, N_GEN_DRAW, RES, RECON_STEPS, RECON_INITS, RECON_OBS
     smoke = "--smoke" in sys.argv  # plumbing check: tiny N, CPU-runnable
+    reuse = "--reuse-clouds" in sys.argv
     if smoke:
         N_SIDE, N_GEN_DRAW, RES = 6, 8, 48
         RECON_STEPS, RECON_INITS, RECON_OBS = 30, 1, 2000
-    outdir = pathlib.Path("/tmp/heldout_smoke") if smoke else OUT
-    outdir.mkdir(parents=True, exist_ok=True)
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
         import enable_compilation_cache
     enable_compilation_cache()
@@ -112,110 +133,183 @@ def main():
     sys.path.insert(0, str(ROOT / "tools"))
     import scale_run as _sr
 
+    if smoke:
+        # key the smoke dir on the smoke recipe so a changed recipe
+        # never silently reuses a stale 300-step checkpoint
+        import hashlib
+        recipe = json.dumps({"steps": 300, "den": _sr.DIFF_DENOISER,
+                             "res": RES, "n": N_SIDE}, sort_keys=True)
+        tag = hashlib.md5(recipe.encode()).hexdigest()[:8]
+        outdir = pathlib.Path(f"/tmp/heldout_smoke_{tag}")
+    else:
+        outdir = OUT
+    outdir.mkdir(parents=True, exist_ok=True)
+
     np.asarray(jnp.ones(8))  # channel warm-up before any timing
     t_all = time.time()
     report = {"n_side": N_SIDE, "res": RES, "pts": PTS,
               "emd_pts": EMD_PTS, "heldout_seed": HELDOUT_SEED,
+              "train_shapes_seed": TRAIN_SEED,
               "recon": {"obs": RECON_OBS, "steps": RECON_STEPS,
                         "inits": RECON_INITS}}
+    prev_report = {}
+    if reuse:
+        prev_path = outdir / "heldout_gen_eval.json"
+        if prev_path.exists():
+            prev_report = json.loads(prev_path.read_text())
+        for k in ("stage2_retrained", "gen_empty_in_draw", "gen_count",
+                  "recon_seconds", "recon_l1_median"):
+            if k in prev_report:
+                report[k] = prev_report[k]
+        report["reused_clouds"] = True
 
-    # ---------------- checkpoints
-    decoder = SdfDecoder(DecoderConfig())
-    tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
-            "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
-    from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint import (
-        restore_stage1)
-    state = restore_stage1(OUT, tmpl)  # orbax first, stage1_pack.npz else
-    params, codes = state["params"], state["codes"]
-    apply_fn = make_pallas_apply(decoder, params)
+    if reuse:
+        # every cloud set below is seed-determined, so the saved npz IS
+        # the recomputation — except the train-side gridMC twins, which
+        # the seed bug invalidated (rebuilt unconditionally further on)
+        with np.load(outdir / "heldout_gen_clouds.npz") as d:
+            clouds = {k: [np.asarray(c) for c in d[k]] for k in d.files}
+        gen = clouds["gen"]
+        train_dec, train_dec_b = (clouds["train_dec"],
+                                  clouds["train_dec_b"])
+        held_dec, held_gmc = clouds["held_dec"], clouds["held_gmc"]
+        print(f"reuse: {sorted(clouds)} loaded from "
+              f"heldout_gen_clouds.npz (gen={len(gen)})", flush=True)
 
-    dcfg = DiffConfig(denoiser=DenoiserConfig(**_sr.DIFF_DENOISER),
-                      timesteps=1000)
-    dmodel = CondDenoiser(dcfg.denoiser)
-    tmpl_d = init_diff_state(dcfg, dmodel, jax.random.PRNGKey(0))
-    dck = StageCheckpointer(outdir if smoke else OUT, "diff", max_to_keep=1)
-    try:
-        drest = dck.restore({"params": tmpl_d.params,
-                             "ema": tmpl_d.ema_params,
-                             "mu": jnp.zeros(256), "sigma": jnp.zeros(256)})
-    except FileNotFoundError:
-        # Orbax trees under runs/**/checkpoints/ are gitignored, so a
-        # fresh sandbox carries only the committed stage1_pack.npz.
-        # Stage 2 is cheap to reproduce exactly (~280 s on the v5e, and
-        # fully determined by seed 0 + the frozen codes): rerun the
-        # sweep-winning big300k recipe — the same constants scale_run
-        # used — and save it so re-runs restore instead.
-        from latent_diffusion_models_for_shape_sdfs_tpu.train.diffusion \
-            import train_diffusion
-        steps = 300 if smoke else _sr.DIFF_STEPS
-        dcfg2 = DiffConfig(
-            denoiser=DenoiserConfig(**_sr.DIFF_DENOISER), timesteps=1000,
-            batch_size=_sr.DIFF_BATCH, num_steps=steps,
-            scan_chunk=min(2000, steps), lr=2e-4,
-            lr_schedule=_sr.DIFF_LR_SCHEDULE,
-            warmup_steps=2000 if _sr.DIFF_LR_SCHEDULE == "cosine" else 0,
-            seed=0)
-        t0 = time.time()
-        _, dstate, (mu2, sigma2), dloss = train_diffusion(dcfg2, codes)
-        print(f"stage-2 retrained (no orbax ckpt): loss={float(dloss):.3f}"
-              f" in {time.time()-t0:.0f}s", flush=True)
-        report["stage2_retrained"] = {"steps": steps, "loss": float(dloss),
-                                      "seconds": round(time.time() - t0)}
-        drest = {"params": dstate.params, "ema": dstate.ema_params,
-                 "mu": mu2, "sigma": sigma2}
-        dck.save(steps, drest)
-    dck.close()
-    mu, sigma, ema = drest["mu"], drest["sigma"], drest["ema"]
-    sch = DiffusionSchedule.create(dcfg.timesteps)
-    denoise_fn = lambda z, t: dmodel.apply({"params": ema}, z, t)
+    # ---------------- checkpoints (skipped when reusing clouds)
+    if not reuse:
+        decoder = SdfDecoder(DecoderConfig())
+        tmpl = {"params": decoder.init_params(jax.random.PRNGKey(0)),
+                "codes": jnp.zeros((N_TRAIN, 256), jnp.float32)}
+        from latent_diffusion_models_for_shape_sdfs_tpu.utils.checkpoint \
+            import restore_stage1
+        state = restore_stage1(OUT, tmpl)  # orbax first, npz pack else
+        params, codes = state["params"], state["codes"]
+        apply_fn = make_pallas_apply(decoder, params)
 
-    def decode_cloud(z, seed):
-        grid = decode_grid_adaptive(apply_fn, jnp.asarray(z), RES)
-        v, f = extract_mesh(grid)
-        if len(f) < 50:
-            return None
-        return sample_mesh_surface(v, f, PTS, seed=seed)
+        dcfg = DiffConfig(denoiser=DenoiserConfig(**_sr.DIFF_DENOISER),
+                          timesteps=1000)
+        dmodel = CondDenoiser(dcfg.denoiser)
+        tmpl_d = init_diff_state(dcfg, dmodel, jax.random.PRNGKey(0))
+        dck = StageCheckpointer(outdir, "diff", max_to_keep=1)
+        try:
+            drest = dck.restore({"params": tmpl_d.params,
+                                 "ema": tmpl_d.ema_params,
+                                 "mu": jnp.zeros(256),
+                                 "sigma": jnp.zeros(256)})
+        except FileNotFoundError:
+            # Orbax trees under runs/**/checkpoints/ are gitignored, so
+            # a fresh sandbox carries only the committed stage1_pack
+            # .npz. Stage 2 is cheap to reproduce exactly (~280 s on the
+            # v5e, and fully determined by seed 0 + the frozen codes):
+            # rerun the sweep-winning big300k recipe — the same
+            # constants scale_run used — and save it so re-runs restore
+            # instead.
+            from latent_diffusion_models_for_shape_sdfs_tpu.train. \
+                diffusion import train_diffusion
+            steps = 300 if smoke else _sr.DIFF_STEPS
+            dcfg2 = DiffConfig(
+                denoiser=DenoiserConfig(**_sr.DIFF_DENOISER),
+                timesteps=1000, batch_size=_sr.DIFF_BATCH,
+                num_steps=steps, scan_chunk=min(2000, steps), lr=2e-4,
+                lr_schedule=_sr.DIFF_LR_SCHEDULE,
+                warmup_steps=2000 if _sr.DIFF_LR_SCHEDULE == "cosine"
+                else 0, seed=0)
+            t0 = time.time()
+            _, dstate, (mu2, sigma2), dloss = train_diffusion(dcfg2,
+                                                              codes)
+            print(f"stage-2 retrained (no orbax ckpt): "
+                  f"loss={float(dloss):.3f} in {time.time()-t0:.0f}s",
+                  flush=True)
+            # the retrain must BE the sweep-winning model, not merely
+            # resemble it: compare against the loss scale_run recorded
+            # (observed bitwise-equal on this jax/XLA/chip; the
+            # tolerance absorbs legitimate cross-version drift while
+            # flagging a genuinely different model)
+            orig_loss = None
+            rp = OUT / "report.json"
+            if rp.exists():
+                orig_loss = json.loads(rp.read_text()).get("diff_loss")
+            report["stage2_retrained"] = {
+                "steps": steps, "loss": float(dloss),
+                "orig_scale_run_diff_loss": orig_loss,
+                "seconds": round(time.time() - t0)}
+            if orig_loss is not None and not smoke:
+                assert abs(float(dloss) - orig_loss) \
+                    <= 0.05 * abs(orig_loss), (
+                    f"stage-2 retrain drifted from the original "
+                    f"scale_run model: loss {float(dloss):.6f} vs "
+                    f"recorded {orig_loss:.6f} — different jax/XLA/"
+                    f"hardware; this eval would NOT be of the "
+                    f"sweep-winning model")
+            drest = {"params": dstate.params, "ema": dstate.ema_params,
+                     "mu": mu2, "sigma": sigma2}
+            dck.save(steps, drest)
+        dck.close()
+        mu, sigma, ema = drest["mu"], drest["sigma"], drest["ema"]
+        sch = DiffusionSchedule.create(dcfg.timesteps)
+        denoise_fn = lambda z, t: dmodel.apply({"params": ema}, z, t)
+
+        def decode_cloud(z, seed):
+            grid = decode_grid_adaptive(apply_fn, jnp.asarray(z), RES)
+            v, f = extract_mesh(grid)
+            if len(f) < 50:
+                return None
+            return sample_mesh_surface(v, f, PTS, seed=seed)
 
     # ---------------- generated set
-    t0 = time.time()
-    zg = unnormalize_codes(
-        ddim_sample(denoise_fn, sch, jax.random.PRNGKey(4711), N_GEN_DRAW,
-                    256, steps=50), mu, sigma)
-    gen, n_empty = [], 0
-    for i in range(N_GEN_DRAW):
-        c = decode_cloud(zg[i], 300_000 + i)
-        if c is None:
-            n_empty += 1
-        else:
-            gen.append(c)
-        if len(gen) == N_SIDE:
-            break
-    report["gen_empty_in_draw"] = n_empty
-    report["gen_count"] = len(gen)
-    print(f"gen: {len(gen)} clouds ({n_empty} empty) "
-          f"in {time.time()-t0:.0f}s", flush=True)
-    if smoke and len(gen) < N_SIDE:
-        # A 300-step smoke model legitimately decodes empty; fill with
-        # analytic surface clouds so the metric plumbing still runs.
-        rj = np.random.default_rng(1)
-        need = N_SIDE - len(gen)
-        fill = analytic.make_synthetic_split("chair", need, seed=77)
-        gen += [analytic.sample_surface(s, PTS, rj) for s in fill]
-        report["gen_smoke_filled"] = need
-    assert len(gen) >= N_SIDE, \
-        f"only {len(gen)}/{N_SIDE} non-empty samples from {N_GEN_DRAW} draws"
+    if not reuse:
+        t0 = time.time()
+        zg = unnormalize_codes(
+            ddim_sample(denoise_fn, sch, jax.random.PRNGKey(4711),
+                        N_GEN_DRAW, 256, steps=50), mu, sigma)
+        gen, n_empty = [], 0
+        for i in range(N_GEN_DRAW):
+            c = decode_cloud(zg[i], 300_000 + i)
+            if c is None:
+                n_empty += 1
+            else:
+                gen.append(c)
+            if len(gen) == N_SIDE:
+                break
+        report["gen_empty_in_draw"] = n_empty
+        report["gen_count"] = len(gen)
+        print(f"gen: {len(gen)} clouds ({n_empty} empty) "
+              f"in {time.time()-t0:.0f}s", flush=True)
+        if smoke and len(gen) < N_SIDE:
+            # A 300-step smoke model legitimately decodes empty; fill
+            # with analytic surface clouds so the metric plumbing still
+            # runs.
+            rj = np.random.default_rng(1)
+            need = N_SIDE - len(gen)
+            fill = analytic.make_synthetic_split("chair", need, seed=77)
+            gen += [analytic.sample_surface(s, PTS, rj) for s in fill]
+            report["gen_smoke_filled"] = need
+        assert len(gen) >= N_SIDE, \
+            f"only {len(gen)}/{N_SIDE} non-empty samples " \
+            f"from {N_GEN_DRAW} draws"
+        gen = gen[:N_SIDE]
 
-    # ---------------- training reference sets (A headline, B control)
-    train_shapes = analytic.make_synthetic_split("chair", N_TRAIN, seed=0)
+    # ---------------- training reference sets (A headline, B control).
+    # THE shape set the 6k run trained on: scale_run.py:89 drew
+    # N_TRAIN+1 chairs with seed=11 and trained on the first N_TRAIN
+    # (replicated verbatim so codes[j] <-> train_shapes[j] is the
+    # trained pairing — round 4 regenerated these with seed=0 and the
+    # train-fit check degenerated to random-pair Chamfer).
+    train_shapes = analytic.make_synthetic_split(
+        "chair", N_TRAIN + 1, seed=TRAIN_SEED)[:N_TRAIN]
     idx = np.random.default_rng(31).choice(N_TRAIN, 2 * N_SIDE,
                                            replace=False)
     idx_a, idx_b = idx[:N_SIDE], idx[N_SIDE:]
-    t0 = time.time()
-    train_dec = [decode_cloud(codes[j], 400_000 + j) for j in idx_a]
-    train_dec_b = [decode_cloud(codes[j], 430_000 + j) for j in idx_b]
-    assert all(c is not None for c in train_dec + train_dec_b), \
-        "a trained code decoded empty — investigate before trusting refs"
-    print(f"train decoded refs in {time.time()-t0:.0f}s", flush=True)
+    if not reuse:
+        t0 = time.time()
+        train_dec = [decode_cloud(codes[j], 400_000 + j) for j in idx_a]
+        train_dec_b = [decode_cloud(codes[j], 430_000 + j)
+                       for j in idx_b]
+        assert all(c is not None for c in train_dec + train_dec_b), \
+            "a trained code decoded empty — investigate before " \
+            "trusting refs"
+        print(f"train decoded refs in {time.time()-t0:.0f}s", flush=True)
 
     # gridMC twins: the analytic SDF through the SAME hierarchical
     # decode + MC + sampling (decoder-free protocol). The 40 chair
@@ -242,34 +336,38 @@ def main():
     train_gmc = [gridmc_cloud(train_shapes[j], 500_000 + j) for j in idx_a]
     train_gmc_b = [gridmc_cloud(train_shapes[j], 530_000 + j)
                    for j in idx_b]
-    held_shapes = analytic.make_synthetic_split("chair", N_SIDE,
-                                                seed=HELDOUT_SEED)
-    held_gmc = [gridmc_cloud(s, 560_000 + i)
-                for i, s in enumerate(held_shapes)]
+    if not reuse:
+        held_shapes = analytic.make_synthetic_split("chair", N_SIDE,
+                                                    seed=HELDOUT_SEED)
+        held_gmc = [gridmc_cloud(s, 560_000 + i)
+                    for i, s in enumerate(held_shapes)]
     print(f"gridMC refs in {time.time()-t0:.0f}s", flush=True)
 
     # ---------------- held-out decoded refs: latent-opt reconstruction
-    rcfg = ReconstructConfig(num_steps=RECON_STEPS, num_inits=RECON_INITS)
-    t0 = time.time()
-    held_dec, recon_l1 = [], []
-    for i, shape in enumerate(held_shapes):
-        rng = np.random.default_rng(7000 + i)
-        ox, od = analytic.sample_sdf_points(shape, RECON_OBS, rng,
-                                            surface_frac=0.95)
-        z, info = reconstruct_latent(decoder, params, jnp.asarray(ox),
-                                     jnp.asarray(od), rcfg,
-                                     key=jax.random.PRNGKey(9100 + i))
-        recon_l1.append(float(info["loss_last"]))
-        c = decode_cloud(z, 600_000 + i)
-        assert c is not None, f"held-out recon {i} decoded empty"
-        held_dec.append(c)
-        if i % 32 == 0:
-            print(f"  recon {i}/{N_SIDE} ({time.time()-t0:.0f}s)",
-                  flush=True)
-    report["recon_seconds"] = time.time() - t0
-    report["recon_l1_median"] = float(np.median(recon_l1))
-    print(f"held-out decoded refs in {report['recon_seconds']:.0f}s",
-          flush=True)
+    if not reuse:
+        rcfg = ReconstructConfig(num_steps=RECON_STEPS,
+                                 num_inits=RECON_INITS)
+        t0 = time.time()
+        held_dec, recon_l1 = [], []
+        for i, shape in enumerate(held_shapes):
+            rng = np.random.default_rng(7000 + i)
+            ox, od = analytic.sample_sdf_points(shape, RECON_OBS, rng,
+                                                surface_frac=0.95)
+            z, info = reconstruct_latent(decoder, params,
+                                         jnp.asarray(ox),
+                                         jnp.asarray(od), rcfg,
+                                         key=jax.random.PRNGKey(9100 + i))
+            recon_l1.append(float(info["loss_last"]))
+            c = decode_cloud(z, 600_000 + i)
+            assert c is not None, f"held-out recon {i} decoded empty"
+            held_dec.append(c)
+            if i % 32 == 0:
+                print(f"  recon {i}/{N_SIDE} ({time.time()-t0:.0f}s)",
+                      flush=True)
+        report["recon_seconds"] = time.time() - t0
+        report["recon_l1_median"] = float(np.median(recon_l1))
+        print(f"held-out decoded refs in {report['recon_seconds']:.0f}s",
+              flush=True)
 
     # ---------------- ref-fidelity accounting (protocol match evidence)
     fit_train = [chamfer_l2(a, b) for a, b in zip(train_dec, train_gmc)]
@@ -279,9 +377,17 @@ def main():
         "heldout_recon_chamfer_median": float(np.median(fit_held)),
     }
     print("ref fidelity:", report["ref_fidelity"], flush=True)
-
-    n = min(len(gen), N_SIDE)
-    gen = gen[:n]
+    # apples-to-apples is a PRECONDITION of the decoded-protocol rows,
+    # not a hope: trained codes must fit their own shapes at least as
+    # well as held-out reconstructions fit theirs (factor 3 absorbs
+    # clamp/regularization asymmetries). A violation means the
+    # shape<->code pairing is broken (round 4: 33x, seed mismatch).
+    if not smoke:
+        assert report["ref_fidelity"]["train_fit_chamfer_median"] <= \
+            3.0 * report["ref_fidelity"]["heldout_recon_chamfer_median"], \
+            f"train-fit vs heldout-recon fidelity mismatch " \
+            f"{report['ref_fidelity']} — shape<->code pairing broken? " \
+            f"(TRAIN_SEED must match scale_run.py)"
 
     np.savez_compressed(
         outdir / "heldout_gen_clouds.npz", gen=np.stack(gen),
@@ -342,7 +448,7 @@ def main():
     r = report["rows"]
     gap_dec = (r["gen_vs_heldout_decoded"]["one_nna"]
                - r["gen_vs_train_decoded"]["one_nna"])
-    se2 = 1.96 * np.sqrt(2 * 0.25 / (2 * n))   # conservative joint s.e.
+    se2 = 1.96 * np.sqrt(2 * 0.25 / (2 * N_SIDE))  # conservative joint s.e.
     report["train_vs_heldout_gap_1nna_decoded"] = round(float(gap_dec), 4)
     report["gap_significant"] = bool(abs(gap_dec) > se2)
     report["total_seconds"] = time.time() - t_all

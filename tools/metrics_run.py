@@ -68,6 +68,9 @@ def compute_metrics(gen_clouds, ref_clouds, use_device: bool = True,
 
 
 def main(argv=None):
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/metrics_run")  # one chip, one process
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir", type=pathlib.Path)
     ap.add_argument("--no-device", action="store_true",

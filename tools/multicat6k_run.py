@@ -58,6 +58,9 @@ HELD_SEED = 7707                            # training split uses seed=5
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/multicat6k_run")  # one chip, one process
     global N_PER_CLASS, N_TRAIN, SAMPLES_PER_SHAPE, EPOCHS, DIFF_STEPS, \
         N_GEN, N_SWEEP, RES_EVAL, OUT
     import sys

@@ -31,6 +31,9 @@ N_TRAIN = N_PER_CLASS * N_CLASSES  # 416
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/multicat_run")  # one chip, one process
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache \
         import enable_compilation_cache
     enable_compilation_cache()

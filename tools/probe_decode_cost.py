@@ -30,6 +30,9 @@ from latent_diffusion_models_for_shape_sdfs_tpu import serve
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/probe_decode_cost")  # one chip, one process
     print("devices:", jax.devices())
     np.asarray(jnp.ones(8))  # warm d2h channel
 

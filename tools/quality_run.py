@@ -25,6 +25,9 @@ OUT = ROOT / "runs" / "quality_chairs"
 
 
 def main():
+    from latent_diffusion_models_for_shape_sdfs_tpu.utils.tpu_lock import (
+        acquire_or_die)
+    _tpu_lock = acquire_or_die("tools/quality_run")  # one chip, one process
     from latent_diffusion_models_for_shape_sdfs_tpu.utils.compilation_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
