@@ -450,12 +450,22 @@ def main():
                   for i in range(4)]
 
         # vmapped reference on the same 64 chairs: caps = measured
-        # batch-max +25% (the policy the vmap path forces on every shape)
-        _, stp = decode_grid_hierarchical3_batch(
-            apply_het, zhet, 256, 16, 4, 2, (256 // 16) ** 3,
-            256 ** 2 // 2, 2 * 256 ** 2, safety=1.2, safety3=2.0,
-            out_dtype="bfloat16", check_overflow=True)
-        assert not stp["capacity_exceeded"], stp
+        # batch-max +25% (the policy the vmap path forces on every
+        # shape). Probed in B=16 chunks: per-shape actives don't depend
+        # on batch-mates, and the generous-cap B=64 probe program is a
+        # compile-time HBM OOM (18.3 GB vs 15.75 GB — the round-4/5
+        # hier3_het64 HTTP-500, root-caused round 5).
+        stp = {"active_l1": [], "active_l2": [], "active_l3": []}
+        for s0 in range(0, 64, 16):
+            _, stc = decode_grid_hierarchical3_batch(
+                apply_het, zhet[s0:s0 + 16], 256, 16, 4, 2,
+                (256 // 16) ** 3, 256 ** 2 // 2, 2 * 256 ** 2,
+                safety=1.2, safety3=2.0, out_dtype="bfloat16",
+                check_overflow=True)
+            assert not stc["capacity_exceeded"], stc
+            for k in stp:
+                stp[k].append(np.asarray(stc[k]))
+        stp = {k: np.concatenate(v) for k, v in stp.items()}
         vc = [-(-int(1.25 * int(np.max(stp[k]))) // 128) * 128
               for k in ("active_l1", "active_l2", "active_l3")]
         details["hier3_vmap64het_256_caps"] = vc

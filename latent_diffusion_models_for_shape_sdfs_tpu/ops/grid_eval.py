@@ -1195,30 +1195,44 @@ def decode_grid_hierarchical3_batch_flat(
 
 def probe_flat_caps(pairs_fn: PairsFn, zs: jnp.ndarray, res: int,
                     safety: float = 1.2, safety3: float = 2.0,
-                    headroom: float = 1.25) -> tuple:
+                    headroom: float = 1.25, chunk: int = 16) -> tuple:
     """Measured-active+headroom GLOBAL caps for the flat batched decode.
 
-    The flat twin of ``probe_bench_caps``: one generous-cap flat decode
-    measures the batch's true per-level totals at the production
+    The flat twin of ``probe_bench_caps``: generous-cap flat decodes
+    measure the batch's true per-level totals at the production
     margins; caps = round_up(headroom * total, 512). This is what makes
     heterogeneous batches cheap — the headroom multiplies the SUM of
     actives, not S times the max.
+
+    The probe runs in sub-batches of ``chunk`` shapes and SUMS the
+    actives — valid because a shape's active blocks don't depend on its
+    batch-mates. A single generous-cap probe over the whole batch is a
+    compile-time HBM OOM at production scale: the B=64 256^3 probe
+    program needs 20.5 GB vs the v5e's 15.75 GB (XLA memory assignment,
+    measured round 5 — the round-4/5 bench `hier3_het64` HTTP-500), while
+    the B=16 chunk fits in ~5 GB.
     """
     S = int(zs.shape[0])
     nb1 = res // 16
-    # bf16 grids: only the stats matter here, and a generous-cap batch-64
-    # probe at 256^3 would otherwise hold a 4.3 GB f32 grid block
-    _, st = decode_grid_hierarchical3_batch_flat(
-        pairs_fn, zs, res, 16, 4, 2, S * nb1 ** 3,
-        S * res ** 2 // 2, S * 2 * res ** 2, safety=safety,
-        safety3=safety3, out_dtype="bfloat16", check_overflow=True)
-    assert not st["capacity_exceeded"], st
+    tot1 = tot2 = tot3 = 0
+    for s0 in range(0, S, chunk):
+        zc = zs[s0:s0 + chunk]
+        Sc = int(zc.shape[0])
+        # bf16 grids: only the stats matter here, and a generous-cap
+        # probe would otherwise hold GBs of f32 grid block
+        _, st = decode_grid_hierarchical3_batch_flat(
+            pairs_fn, zc, res, 16, 4, 2, Sc * nb1 ** 3,
+            Sc * res ** 2 // 2, Sc * 2 * res ** 2, safety=safety,
+            safety3=safety3, out_dtype="bfloat16", check_overflow=True)
+        assert not st["capacity_exceeded"], st
+        tot1 += st["active_l1"]
+        tot2 += st["active_l2"]
+        tot3 += st["active_l3"]
 
     def rnd(n):
         return -(-int(headroom * n) // 512) * 512
 
-    return (rnd(st["active_l1"]), rnd(st["active_l2"]),
-            rnd(st["active_l3"]))
+    return (rnd(tot1), rnd(tot2), rnd(tot3))
 
 
 def probe_bench_caps(apply_fn: ApplyFn, z: jnp.ndarray, res: int,
