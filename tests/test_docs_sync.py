@@ -54,6 +54,28 @@ def test_readme_perf_table_matches_bench_details():
            "README serve ms/mesh")
 
 
+def test_baseline_het64_row_matches_bench_details():
+    # VERDICT r4 #6/#7: the config-4 heterogeneous ceiling analysis must
+    # quote the hardware capture, and the capture must carry provenance
+    # keys for both carriers so a silent substitution shows in the diff.
+    d = _details()
+    if "hier3_flat64het_256_effective_voxels_per_sec" not in d:
+        pytest.skip("capture predates the het64 phase")
+    txt = (ROOT / "BASELINE.md").read_text()
+    flat = _first_number(r"flat-compacted ([0-9.]+)e8", txt,
+                         "BASELINE") * 1e8
+    _close(flat, d["hier3_flat64het_256_effective_voxels_per_sec"],
+           "BASELINE het64 flat")
+    vmap = _first_number(r"vmapped ([0-9.]+)e8", txt, "BASELINE") * 1e8
+    _close(vmap, d["hier3_vmap64het_256_effective_voxels_per_sec"],
+           "BASELINE het64 vmap")
+    imb = _first_number(r"= \*\*([0-9.]+)× imbalance\*\*", txt,
+                        "BASELINE")
+    _close(imb, d["hier3_het64_active_l3_max"]
+           / d["hier3_het64_active_l3_mean"], "BASELINE het64 imbalance",
+           tol=0.05)
+
+
 def test_parity_perf_paragraph_matches_bench_details():
     d = _details()
     txt = (ROOT / "PARITY.md").read_text()
