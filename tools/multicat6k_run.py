@@ -272,24 +272,45 @@ def main():
     # ---------------- held-out per-class reference clouds (gridMC:
     # analytic SDF through the IDENTICAL decode pipeline, one compiled
     # program for all shapes via the flat CSG packing)
+    # 2x pool per class: the CSG `difference` family can draw the EMPTY
+    # SET (subtracted primitive swallows the base — e.g. seed-7707 shape
+    # 422, two spheres with dist+r_base < r_sub; 1/58 differences in the
+    # 832-draw). A surface-free shape has no point cloud, so it cannot
+    # participate in cloud metrics by construction — skip it and take
+    # the next held-out draw of the same class (mirrors the gen side,
+    # where empty decodes are skipped and counted). The pool is class-
+    # balanced (128/class) and its first 832 draws equal the 832-draw
+    # (sequential rng), so non-degenerate refs are unchanged.
     held_shapes = analytic.make_synthetic_split(
-        "classes13", N_CLASSES * N_GEN, seed=HELD_SEED)
+        "classes13", 2 * N_CLASSES * N_GEN, seed=HELD_SEED)
     held_ids = np.asarray([s["class_id"] for s in held_shapes], np.int32)
     flat_held = analytic_jax.pack_csg(held_shapes).flat()
 
     t0 = time.time()
     ref_by_class = {}
+    ref_degenerate = {}
     for c in range(N_CLASSES):
-        idx = np.nonzero(held_ids == c)[0][:N_GEN]
+        idx = np.nonzero(held_ids == c)[0]
         clouds = []
+        skipped = 0
         for j in idx:
+            if len(clouds) == N_GEN:
+                break
             grid = decode_grid_adaptive(analytic_jax.csg_apply_flat,
                                         flat_held[int(j)], RES_EVAL)
             v, f = extract_mesh(grid)
-            assert len(f) >= 50, ("held-out ref meshed empty", int(j))
+            if len(f) < 50:    # degenerate analytic draw (empty set)
+                skipped += 1
+                continue
             clouds.append(sample_mesh_surface(v, f, PTS,
                                               seed=50_000 + int(j)))
+        assert len(clouds) == N_GEN, \
+            (f"class {c}: only {len(clouds)}/{N_GEN} non-degenerate "
+             f"held-out refs in a {len(idx)}-draw pool")
         ref_by_class[c] = clouds
+        if skipped:
+            ref_degenerate[c] = skipped
+    report["ref_degenerate_skipped"] = ref_degenerate
     print(f"held-out gridMC refs ({N_CLASSES}x{N_GEN}) in "
           f"{time.time()-t0:.0f}s", flush=True)
 
@@ -468,6 +489,16 @@ def write_multicat_md(report: dict) -> None:
         f"{report['serve_512_ms_per_mesh']:.0f} ms/mesh "
         f"({report['serve_512_verts_per_mesh']} verts)",
     ]
+    deg = report.get("ref_degenerate_skipped") or {}
+    if deg:
+        md += [
+            f"- held-out ref provenance: {sum(deg.values())} degenerate "
+            f"analytic draw(s) skipped (class:count {deg}) — the CSG "
+            f"`difference` family can draw the empty set (subtracted "
+            f"primitive swallows the base); surface-free shapes cannot "
+            f"participate in cloud metrics, the next held-out draw of "
+            f"the same class substitutes",
+        ]
     if mini:
         md += [
             "",
