@@ -66,3 +66,23 @@ def test_synthetic_split_deterministic_and_classed():
     assert [s["class_id"] for s in a[:13]] == list(range(13))
     c = analytic.make_synthetic_split("chair", 3, seed=1)
     assert all(s["type"] == "union" for s in c)
+
+
+def test_csg_difference_can_draw_the_empty_set():
+    """Regression pin for the multicat6k crash (round 5): the classes13
+    `difference` family can draw a shape whose subtracted primitive
+    swallows the base — the EMPTY SET (no surface anywhere). Draw 422 of
+    the seed-7707 split is such a shape: two spheres with
+    dist(centers) + r_base < r_sub. Any tool that meshes analytic refs
+    must therefore tolerate surface-free draws and substitute the next
+    same-class draw (tools/multicat6k_run.py held-out ref pool)."""
+    held = analytic.make_synthetic_split("classes13", 13 * 64, seed=7707)
+    s = held[422]
+    assert s["type"] == "difference"
+    a, b = s["children"]
+    dist = float(np.linalg.norm(np.asarray(a["c"]) - np.asarray(b["c"])))
+    assert dist + a["r"] < b["r"]  # base entirely inside the subtrahend
+    xs = np.linspace(-1, 1, 48, dtype=np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    assert analytic.sdf(s, pts).min() > 0  # positive everywhere: empty
