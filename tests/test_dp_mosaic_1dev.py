@@ -47,8 +47,11 @@ def test_sharded_point_decode_pallas_one_device_mesh():
     z = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (cfg.latent_size,))
     xyz = jax.random.uniform(jax.random.PRNGKey(2), (4096, 3),
                              jnp.float32, -1, 1)
+    # jitted oracle: bitwise equality holds between the two COMPILED
+    # programs; the eager kernel fuses differently (1-ULP drift on both
+    # CPU and the v5e — first observed as a real-TPU failure round 5)
     np.testing.assert_array_equal(np.asarray(fn_dp(z, xyz)),
-                                  np.asarray(apply_pk(z, xyz)))
+                                  np.asarray(jax.jit(apply_pk)(z, xyz)))
 
 
 def test_sharded_pairs_pallas_one_device_mesh():
@@ -68,7 +71,7 @@ def test_sharded_pairs_pallas_one_device_mesh():
 
 def test_sharded_sparse_serving_pallas_one_device_mesh():
     from latent_diffusion_models_for_shape_sdfs_tpu.ops.grid_eval import (
-        decode_grid_hierarchical3_sparse2)
+        _MAX_POINTS_PER_GROUP, _decode_grid_hier3_impl)
     cfg, dec, params = _setup()
     apply_pk = make_pallas_apply(dec, params, tile=1024)
     mesh = make_mesh(1)
@@ -76,22 +79,28 @@ def test_sharded_sparse_serving_pallas_one_device_mesh():
     # give FULL caps (res=64: 4^3 l1 / x64 l2 / x8 l3) so nothing
     # overflows whatever the surface is
     res, caps = 64, (64, 4096, 32768)
-    fn_dp = make_dp_sparse_decode_fn(apply_pk, res, 2, mesh, caps)
+    batch = 2
+    fn_dp = make_dp_sparse_decode_fn(apply_pk, res, batch, mesh, caps)
     zs = 0.1 * jax.random.normal(jax.random.PRNGKey(5),
-                                 (2, cfg.latent_size))
+                                 (batch, cfg.latent_size))
     (c1, c2, i1, v2, i2), (n1, n2, n3) = fn_dp(zs)
-    for b in range(2):
-        (c1s, c2s, i1s, v2s, i2s), st = \
-            decode_grid_hierarchical3_sparse2(
-                apply_pk, zs[b], res, 16, 4, 2, *caps,
-                safety=1.2, safety3=2.0,  # the dp wrapper's defaults
-                check_overflow=True)
-        assert not st["capacity_exceeded"], st
-        assert int(n1[b]) == int(st["active_l1"])
-        assert int(n2[b]) == int(st["active_l2"])
-        assert int(n3[b]) == int(st["active_l3"])
-        np.testing.assert_array_equal(np.asarray(c1[b]), np.asarray(c1s))
-        np.testing.assert_array_equal(np.asarray(i1[b]), np.asarray(i1s))
-        np.testing.assert_array_equal(np.asarray(i2[b]), np.asarray(i2s))
-        np.testing.assert_array_equal(np.asarray(v2[b]), np.asarray(v2s))
-        np.testing.assert_array_equal(np.asarray(c2[b]), np.asarray(c2s))
+
+    # Program-matched oracle: same points_per_group split as the factory
+    # AND jitted — the public sparse2 API with its default grouping is a
+    # DIFFERENT compiled program whose evals batch (and so round)
+    # differently; on the v5e that drifts the int8 payload by 1 quant
+    # step (real-TPU failure, round 5). Bitwise equality is only a
+    # meaningful claim between identical programs.
+    ppg = max(8, _MAX_POINTS_PER_GROUP // batch)  # mirrors the factory
+
+    def one(zz):
+        (a, b_, c, d, e), m1, m2, m3 = _decode_grid_hier3_impl(
+            apply_pk, zz, res, 16, 4, 2, *caps, safety=1.2, safety3=2.0,
+            layout="sparse2", points_per_group=ppg, out_dtype="int8")
+        return (a, b_, c, d, e), (m1, m2, m3)
+
+    (c1r, c2r, i1r, v2r, i2r), (n1r, n2r, n3r) = jax.jit(jax.vmap(one))(zs)
+    assert int(n3r[0]) > 0 and int(n3r[1]) > 0  # decode actually ran
+    for got, want in ((c1, c1r), (c2, c2r), (i1, i1r), (v2, v2r),
+                      (i2, i2r), (n1, n1r), (n2, n2r), (n3, n3r)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
